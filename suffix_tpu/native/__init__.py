@@ -1,0 +1,130 @@
+"""Native (C++) host components, loaded via ctypes.
+
+Provides the linear-time CPU oracle (SA-IS + Kasai + batched query bounds)
+used for conformance testing at corpus scale and as the single-core CPU
+baseline the TPU engines are benchmarked against. The shared library is
+built from ``csrc/saistpu.cpp`` on first use and cached next to it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "csrc", "saistpu.cpp")
+_LIB = os.path.join(_DIR, "csrc", "libsaistpu.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise NativeUnavailable(
+            f"failed to build native library:\n{proc.stderr}"
+        )
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.stpu_sais_u8.argtypes = [u8p, ctypes.c_uint32, u32p]
+        lib.stpu_sais_u8.restype = ctypes.c_int
+        lib.stpu_kasai_u8.argtypes = [u8p, u32p, ctypes.c_uint32, u32p]
+        lib.stpu_kasai_u8.restype = None
+        lib.stpu_bounds_batch.argtypes = [
+            u8p, ctypes.c_uint32, u32p, u8p, u32p, ctypes.c_uint32, u32p, u32p,
+        ]
+        lib.stpu_bounds_batch.restype = None
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def _u8(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _u32(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def sais(data: bytes | np.ndarray) -> np.ndarray:
+    """Suffix array (uint32) via native SA-IS — linear time, single core."""
+    lib = _load()
+    arr = np.ascontiguousarray(
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.uint8)
+    )
+    n = arr.shape[0]
+    out = np.empty(n, dtype=np.uint32)
+    if n:
+        lib.stpu_sais_u8(_u8(arr), n, _u32(out))
+    return out
+
+
+def kasai(data: bytes | np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """LCP array (uint32) via native Kasai — linear time."""
+    lib = _load()
+    arr = np.ascontiguousarray(
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.uint8)
+    )
+    sa = np.ascontiguousarray(sa, dtype=np.uint32)
+    n = arr.shape[0]
+    out = np.zeros(n, dtype=np.uint32)
+    if n:
+        lib.stpu_kasai_u8(_u8(arr), _u32(sa), n, _u32(out))
+    return out
+
+
+def bounds_batch(data: bytes | np.ndarray, sa: np.ndarray, queries) -> tuple[np.ndarray, np.ndarray]:
+    """(start, count) rank bounds per query — native CPU reference path."""
+    lib = _load()
+    arr = np.ascontiguousarray(
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.uint8)
+    )
+    sa = np.ascontiguousarray(sa, dtype=np.uint32)
+    qbytes = [q.encode("utf-8") if isinstance(q, str) else bytes(q) for q in queries]
+    offsets = np.zeros(len(qbytes) + 1, dtype=np.uint32)
+    for i, q in enumerate(qbytes):
+        offsets[i + 1] = offsets[i] + len(q)
+    blob = np.frombuffer(b"".join(qbytes) or b"\x00", dtype=np.uint8).copy()
+    starts = np.zeros(len(qbytes), dtype=np.uint32)
+    counts = np.zeros(len(qbytes), dtype=np.uint32)
+    if len(qbytes):
+        lib.stpu_bounds_batch(
+            _u8(arr), arr.shape[0], _u32(sa), _u8(blob), _u32(offsets),
+            len(qbytes), _u32(starts), _u32(counts),
+        )
+    return starts, counts

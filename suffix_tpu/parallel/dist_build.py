@@ -1,0 +1,183 @@
+"""Multi-device sharded suffix-array construction.
+
+The reference is single-process (SURVEY.md §2.3); this layer is the new
+scale-out architecture. The text is sharded along the sequence axis over a
+1-D device mesh and the prefix-doubling engine runs fully SPMD inside
+``shard_map``:
+
+- the global sort of (rank, rank[i+k], i) triples each round is a
+  **block-bitonic sort**: every device keeps a locally sorted run of L
+  elements, then log^2(D) merge-split stages exchange whole runs with a
+  partner (`ppermute`), locally merge 2L elements, and keep the low or
+  high half according to the bitonic direction bit. Comm volume per device
+  per round is O(L log^2 D) over ICI — no host involvement;
+- dense re-ranking after the sort needs one neighbor boundary exchange
+  (`ppermute` shift), a local cumsum, and an exclusive scan of per-shard
+  flag totals (tiny all_gather) — the collective-histogram analogue of the
+  reference's bucket machinery (src/table.rs:686-720);
+- ranks are routed back to their home shard by a second block-bitonic sort
+  keyed on the suffix index (a global permutation → identity layout);
+- the doubling shift ``rank[i + k]`` is fetched from an all-gathered rank
+  vector (dynamic window slice). This replicates one int32 vector per
+  round — the simple/robust choice; a halo ``ppermute`` fetch is the
+  planned optimization for corpora that exceed replicated-vector HBM.
+
+The result is bit-identical to the single-device engine (and therefore to
+the reference): the suffix array is the unique byte-lexicographic
+permutation, with PAD (-1) below the text acting as the implicit sentinel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from suffix_tpu.ops.padding import PAD
+from suffix_tpu.parallel.mesh import AXIS
+
+
+def _bitonic_global_sort(arrays, num_keys: int, n_local: int, n_dev: int):
+    """Sort distributed arrays globally (ascending across the mesh).
+
+    Each device holds an (n_local,) slice; after the call, device d holds
+    global sorted positions [d*n_local, (d+1)*n_local). Valid for any
+    input; keys may repeat (add a unique tie-break operand for full
+    determinism).
+    """
+    arrays = list(jax.lax.sort(tuple(arrays), num_keys=num_keys))
+    if n_dev == 1:
+        return arrays
+    me = jax.lax.axis_index(AXIS)
+    size = 2
+    while size <= n_dev:
+        stride = size // 2
+        while stride >= 1:
+            perm = [(j, j ^ stride) for j in range(n_dev)]
+            partner = [jax.lax.ppermute(a, AXIS, perm) for a in arrays]
+            merged = jax.lax.sort(
+                tuple(jnp.concatenate([a, pa]) for a, pa in zip(arrays, partner)),
+                num_keys=num_keys,
+            )
+            up = (me & size) == 0
+            am_low = (me & stride) == 0
+            keep_low = up == am_low
+            arrays = [
+                jnp.where(keep_low, m[:n_local], m[n_local:]) for m in merged
+            ]
+            stride //= 2
+        size *= 2
+    return arrays
+
+
+def _left_boundary(x: jax.Array, n_dev: int, fill) -> jax.Array:
+    """Per-device: previous element of the first local element.
+
+    Concatenates the left neighbor's last element in front and drops the
+    local last; device 0 receives ``fill``.
+    """
+    if n_dev == 1:
+        incoming = jnp.full((1,), fill, x.dtype)
+    else:
+        perm = [(j, j + 1) for j in range(n_dev - 1)]
+        incoming = jax.lax.ppermute(x[-1:], AXIS, perm)
+        me = jax.lax.axis_index(AXIS)
+        incoming = jnp.where(me == 0, jnp.full((1,), fill, x.dtype), incoming)
+    return jnp.concatenate([incoming, x[:-1]])
+
+
+def _dist_build_shard(text_local: jax.Array, n_local: int, n_dev: int):
+    """Per-device body (under shard_map): returns the local SA slice.
+
+    The returned slice is in *sorted order* layout: device d holds ranks
+    [d*n_local, (d+1)*n_local) of the global suffix array.
+    """
+    n_total = n_local * n_dev
+    me = jax.lax.axis_index(AXIS)
+    lidx = jnp.arange(n_local, dtype=jnp.int32)
+    gidx = (me * n_local + lidx).astype(jnp.int32)
+
+    rank0 = (text_local + 1).astype(jnp.int32)  # PAD -> 0, bytes -> 1..256
+
+    def round_step(state):
+        rank_home, _, k, _ = state
+        # second[i] = rank[i + k] with -1 past the end: all_gather + window.
+        rank_full = jax.lax.all_gather(rank_home, AXIS, tiled=True)
+        rank_ext = jnp.concatenate(
+            [rank_full, jnp.full((n_total,), -1, jnp.int32)]
+        )
+        start = me * n_local + jnp.minimum(k, n_total)
+        second = jax.lax.dynamic_slice(rank_ext, (start,), (n_local,))
+
+        r, s2, idx = _bitonic_global_sort(
+            [rank_home, second, gidx], num_keys=3, n_local=n_local, n_dev=n_dev
+        )
+
+        # Dense re-rank in sorted order.
+        r_prev = _left_boundary(r, n_dev, fill=-2)
+        s_prev = _left_boundary(s2, n_dev, fill=-2)
+        flag = ((r != r_prev) | (s2 != s_prev)).astype(jnp.int32)
+        flag = jnp.where((me == 0) & (lidx == 0), 0, flag)
+        local_cum = jnp.cumsum(flag)
+        totals = jax.lax.all_gather(local_cum[-1], AXIS)  # (n_dev,)
+        offset = jnp.sum(
+            jnp.where(jnp.arange(n_dev) < me, totals, 0), dtype=jnp.int32
+        )
+        dense = local_cum + offset
+
+        last_rank = jax.lax.psum(
+            jnp.where(me == n_dev - 1, dense[-1], 0), AXIS
+        )
+        done = (last_rank + 1) == n_total
+
+        # Route dense ranks back to home layout: global sort by suffix idx.
+        _, rank_new = _bitonic_global_sort(
+            [idx, dense], num_keys=1, n_local=n_local, n_dev=n_dev
+        )
+        next_k = jnp.where(k == 0, 1, k * 2)
+        return rank_new, idx, next_k, done
+
+    def cond(state):
+        _, _, k, done = state
+        return jnp.logical_not(done) & (k < n_total)
+
+    init = (rank0, gidx, jnp.int32(0), jnp.bool_(False))
+    # Always run the first round (k=0 orders by single characters).
+    state = round_step(init)
+    _, sa_local, _, _ = jax.lax.while_loop(cond, round_step, state)
+    return sa_local
+
+
+@functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))
+def _dist_build_jit(text_sharded: jax.Array, n_local: int, n_dev: int, mesh: Mesh):
+    fn = functools.partial(_dist_build_shard, n_local=n_local, n_dev=n_dev)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS), check_vma=False
+    )(text_sharded)
+
+
+def suffix_array_sharded(data: bytes | np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Suffix array (uint32) built across all devices of ``mesh``.
+
+    Output is bit-identical to the single-device engine and the reference.
+    """
+    arr = (
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    n = int(arr.shape[0])
+    if n == 0:
+        return np.empty((0,), dtype=np.uint32)
+    n_dev = mesh.devices.size
+    # Local shard >= 8 keeps degenerate tiny shapes out of the kernels.
+    n_local = max(8, -(-n // n_dev))
+    n_total = n_local * n_dev
+    padded = np.full((n_total,), PAD, dtype=np.int32)
+    padded[:n] = arr
+    sharded = jax.device_put(padded, NamedSharding(mesh, P(AXIS)))
+    sa_full = np.asarray(_dist_build_jit(sharded, n_local, n_dev, mesh))
+    return sa_full[n_total - n:].astype(np.uint32)

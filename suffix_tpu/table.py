@@ -73,12 +73,25 @@ class SuffixTable:
     # ----------------------------------------------------------------- build
 
     @classmethod
-    def new(cls, text) -> "SuffixTable":
-        """Build the suffix table on device (reference: src/table.rs:78-85)."""
+    def new(cls, text, engine: str = "device") -> "SuffixTable":
+        """Build the suffix table (reference: src/table.rs:78-85).
+
+        ``engine="device"`` runs the parallel prefix-doubling pipeline on
+        the default JAX device; ``engine="native"`` runs the linear-time
+        C++ SA-IS oracle on the host CPU. Both produce the identical
+        (unique) suffix array.
+        """
         raw, was_str = _as_bytes(text)
         if len(raw) > MAX_TEXT_LEN:
             raise ValueError("text is too large (max 2^32 - 1 bytes)")
-        table = prefix_doubling.suffix_array_bytes(raw)
+        if engine == "device":
+            table = prefix_doubling.suffix_array_bytes(raw)
+        elif engine == "native":
+            from suffix_tpu import native
+
+            table = native.sais(raw)
+        else:
+            raise ValueError(f"unknown engine: {engine!r}")
         return cls(raw, table, _was_str=was_str)
 
     @classmethod
@@ -135,9 +148,18 @@ class SuffixTable:
     # ------------------------------------------------------------------- lcp
 
     def lcp_lens(self, method: str = "device") -> np.ndarray:
-        """LCP array (uint32), reference definition src/table.rs:348-361."""
+        """LCP array (uint32), reference definition src/table.rs:348-361.
+
+        ``method`` selects the engine: "device" (parallel blockwise),
+        "native" (C++ Kasai, linear time), or "kasai" (host numpy oracle).
+        All produce the identical array.
+        """
         if method == "device":
             return lcp_ops.lcp_from_sa(self._bytes, self._table)
+        if method == "native":
+            from suffix_tpu import native
+
+            return native.kasai(self._raw, self._table)
         if method == "kasai":
             return lcp_ops.kasai_host(self._bytes, self._table)
         raise ValueError(f"unknown LCP method: {method!r}")

@@ -1,0 +1,33 @@
+"""Platform/caching setup shared by benches and CLIs."""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".jax_cache")
+
+
+def setup_compilation_cache(path: str | None = None) -> None:
+    """Enable the persistent compilation cache (compiles through a remote
+    TPU tunnel can take minutes; the disk cache makes repeat runs fast)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path or _DEFAULT_CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def sync(x) -> None:
+    """Force completion of a device computation.
+
+    ``block_until_ready`` can be a no-op on remote-tunneled backends, so
+    synchronize by fetching one element to the host.
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(x)
+    for leaf in leaves:
+        if hasattr(leaf, "__getitem__") and getattr(leaf, "ndim", 0) >= 1:
+            _ = leaf[tuple(0 for _ in range(leaf.ndim))].item()
+        elif hasattr(leaf, "item"):
+            _ = leaf.item()
