@@ -43,7 +43,7 @@ def main() -> None:
 
     from suffix_tpu.ops.padding import PAD, bucket_size
     from suffix_tpu.ops.prefix_doubling import _suffix_array_padded
-    from suffix_tpu.ops import search as search_ops
+    from suffix_tpu.ops import search2 as search_ops
 
     detail = {"device": str(jax.devices()[0])}
 
@@ -74,18 +74,20 @@ def main() -> None:
     detail["construct_100KB_fixture_s"] = round(dt_fix, 4)
     detail["construct_100KB_fixture_MBps"] = round(len(fixture) / dt_fix / 1e6, 2)
 
-    # --- batched queries on the 4 MiB index ------------------------------
+    # --- batched queries on the 4 MiB index (merge-join engine) ----------
     sa_dev = jnp.asarray(np.asarray(sa).astype(np.int32))
-    n_q = 4096
-    qlen = 14
+    pk, _lut = search_ops.build_query_index(t_dev, sa_dev, jnp.int32(n))
+    sync(pk)
+    n_q = 65536
+    qlen = 14  # the reference's many-match bench pattern length
     starts = rng.integers(0, n - qlen, size=n_q)
     queries = np.stack([corpus[s : s + qlen] for s in starts]).astype(np.int32)
     qlens = np.full((n_q,), qlen, dtype=np.int32)
     n_iters = (n + 1).bit_length()
-    args = (t_dev, jnp.int32(n), sa_dev, jnp.int32(n),
-            jnp.asarray(queries), jnp.asarray(qlens))
-    sync(search_ops.bounds_batch(*args, n_iters))  # compile
-    dt_q = _median_time(lambda: sync(search_ops.bounds_batch(*args, n_iters)))
+    args = (t_dev, jnp.int32(n), sa_dev, jnp.int32(n), pk,
+            jnp.asarray(queries), jnp.asarray(qlens), n_iters, qlen)
+    sync(search_ops.bounds_batch_merge(*args))  # compile
+    dt_q = _median_time(lambda: sync(search_ops.bounds_batch_merge(*args)))
     qps = n_q / dt_q
     detail["queries_per_s_batched"] = round(qps, 0)
     detail["query_vs_baseline"] = round(qps / (1e9 / BASELINE_QUERY_NS), 3)

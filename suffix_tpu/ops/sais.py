@@ -1,0 +1,257 @@
+"""SA-IS re-derived for TPU: sample + stratified induced derivation.
+
+The reference's engine (src/table.rs:388-574) is SA-IS: classify suffixes
+S/L/LMS (P2), bucket by first byte (P3/P4), sort the LMS sample (P5-P11),
+then two sequential induced-sort scans (P6/P7 and P13-P15) place every
+suffix through per-bucket cursors. The scans read their own earlier writes
+through the cursors — inherently serial, and the reason a line-for-line
+port would be a terrible TPU program.
+
+This module re-derives induced sorting as an *algebraic* rule that maps to
+device sorts. Decompose any suffix as c^m·γ: m = its maximal same-char run
+length, γ = the suffix right after the run.
+
+- **L-suffixes** (run followed by a smaller char): within the bucket of c,
+  L-suffixes order by (m ascending, order of γ). γ starts with a strictly
+  smaller character and is either an L-suffix of a smaller bucket or an
+  LMS suffix; LMS relative order comes from the sample, and the L→L
+  dependency strictly decreases the first character — so all L-parts
+  resolve in at most (longest strictly-descending character chain) rounds,
+  each round one full-width device sort that finalizes every bucket whose
+  dependencies are met.
+- **S-suffixes** (run followed by a larger char; LMS included) are
+  symmetric: order by (m descending, order of γ), γ in a strictly larger
+  bucket, L-ranks already final — descending-character rounds.
+
+Sample → L-phase → S-phase is exactly the reference's seed-LMS → induce-L
+→ induce-S structure (src/table.rs:536-573), with cursor scans replaced by
+segmented sorts. Output is bit-identical (the suffix array is unique).
+
+The LMS sample order is currently taken from the prefix-doubling engine
+(the recursion of the reference, P11, maps to a reduced-string build that
+will replace it); the derivation itself never looks at full ranks — only
+the LMS class ranks — and is pinned against the oracle in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from suffix_tpu.ops.padding import PAD, bucket_size
+
+INF = 0x7FFFFFFF
+N_SYM = 258  # symbol alphabet 0..257 (PAD+1=0, bytes 1..256), one spare
+
+
+def classify_types(text: jax.Array):
+    """(is_s, is_lms) masks — reference P2 (src/table.rs:592-615) as an
+    associative scan over the 'first non-zero from the right' semiring."""
+    nxt = jnp.concatenate([text[1:], jnp.full((1,), -2, text.dtype)])
+    c = jnp.sign(text - nxt).astype(jnp.int32)  # +1 L, -1 S, 0 inherit
+
+    def op(a, b):
+        return jnp.where(b != 0, b, a)
+
+    resolved = jax.lax.associative_scan(op, c[::-1])[::-1]
+    is_s = resolved == -1
+    prev_s = jnp.concatenate([jnp.ones((1,), bool), is_s[:-1]])
+    is_lms = is_s & jnp.logical_not(prev_s)
+    return is_s, is_lms
+
+
+def bucket_layout(text: jax.Array):
+    """(counts, heads, tails) per symbol — the device Bins
+    (src/table.rs:686-720): histogram + exclusive/inclusive scans."""
+    sym = (text + 1).astype(jnp.int32)
+    counts = jnp.zeros((N_SYM,), jnp.int32).at[sym].add(1)
+    tails = jnp.cumsum(counts)
+    heads = tails - counts
+    return counts, heads, tails
+
+
+def run_decompose(text: jax.Array):
+    """(m, gamma): maximal same-char run length at each position and the
+    index right after the run — segmented backward count scan."""
+    n = text.shape[0]
+    nxt = jnp.concatenate([text[1:], jnp.full((1,), -2, text.dtype)])
+    run_end = text != nxt
+
+    def op(x, y):
+        cx, bx = x
+        cy, by = y
+        return jnp.where(by, cy, cx + cy), bx | by
+
+    ones = jnp.ones((n,), jnp.int32)
+    cnt_rev, _ = jax.lax.associative_scan(op, (ones[::-1], run_end[::-1]))
+    m = cnt_rev[::-1]
+    gamma = jnp.arange(n, dtype=jnp.int32) + m
+    return m, gamma
+
+
+def _own_segment_end_value(seg_key: jax.Array, values: jax.Array):
+    """For each element of a segment-sorted array: ``values`` at the last
+    element of its own segment (nearest segment end at or to the right).
+    ``values`` must be strictly positive at segment ends to distinguish
+    from interior zeros."""
+    is_end = jnp.concatenate([seg_key[1:] != seg_key[:-1],
+                              jnp.ones((1,), bool)])
+    planted = jnp.where(is_end, values, 0)
+
+    def op(a, b):
+        # first non-zero from the right
+        return jnp.where(b != 0, b, a)
+
+    return jax.lax.associative_scan(op, planted[::-1])[::-1]
+
+
+def _segment_positions(seg_key: jax.Array):
+    """For a sorted key array: position of each element within its equal-key
+    segment, and the segment-start index array."""
+    n = seg_key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), seg_key[1:] != seg_key[:-1]]
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, idx, 0)
+    )
+    return idx - seg_start, seg_start
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
+               max_rounds: int = N_SYM) -> jax.Array:
+    """Full SA from LMS class ranks via stratified L/S derivation."""
+    n = text.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sym = (text + 1).astype(jnp.int32)
+
+    is_s, is_lms = classify_types(text)
+    is_l = jnp.logical_not(is_s)
+    m, gamma = run_decompose(text)
+    counts, heads, tails = bucket_layout(text)
+    g_clip = jnp.minimum(gamma, n - 1)
+    g_sym = jnp.take(sym, gamma, mode="fill", fill_value=-1)  # -1: text end
+    g_is_lms = jnp.take(is_lms, g_clip) & (gamma < n)
+
+    # ---------------- L-phase ----------------
+    # γ of an L-suffix: text end, an LMS suffix, or an L-suffix of a
+    # strictly smaller bucket. Surrogate γ-key: (bucket*2 + class, rank)
+    # with class L=0 < LMS=1; rank = resolved L-rank or LMS class rank.
+    l_seg_key = jnp.where(is_l, sym, jnp.int32(N_SYM))  # non-L sink segment
+
+    def l_cond(state):
+        l_rank, rounds = state
+        return jnp.any(is_l & (l_rank == INF)) & (rounds < max_rounds)
+
+    def l_round(state):
+        l_rank, rounds = state
+        g_lrank = jnp.take(l_rank, g_clip)
+        g_hi = jnp.where(
+            gamma >= n, -1,
+            g_sym * 2 + jnp.where(g_is_lms, 1, 0),
+        )
+        g_lo = jnp.where(gamma >= n, 0,
+                         jnp.where(g_is_lms,
+                                   jnp.take(lms_class_rank, g_clip),
+                                   g_lrank))
+        ready = (gamma >= n) | g_is_lms | (g_lrank != INF)
+        not_ready = jnp.where(ready, 0, 1).astype(jnp.int32)
+        sk, srdy, _, _, _, sidx = jax.lax.sort(
+            (l_seg_key, not_ready, m, g_hi, g_lo, idx), num_keys=5
+        )
+        pos, seg_start = _segment_positions(sk)
+        # A bucket finalizes only when every candidate in it is ready;
+        # unready ones sort to the segment end, so each element checks its
+        # OWN segment's last element via a 'nearest end to the right'
+        # scan (2 = ready end, 1 = unready end, 0 = interior).
+        seg_end_ready = _own_segment_end_value(sk, 2 - srdy)
+        bucket_head = jnp.take(heads, jnp.minimum(sk, N_SYM - 1))
+        cand = bucket_head + pos
+        ok = (sk < N_SYM) & (seg_end_ready == 2)
+        new_rank = jnp.full((n,), INF, jnp.int32).at[sidx].set(
+            jnp.where(ok, cand, INF)
+        )
+        return new_rank, rounds + 1
+
+    l_rank0 = jnp.full((n,), INF, jnp.int32)
+    l_rank, _ = jax.lax.while_loop(l_cond, l_round, (l_rank0, jnp.int32(0)))
+
+    # ---------------- S-phase ----------------
+    # γ of an S-suffix starts with a strictly larger character and is an
+    # L-suffix (absolute rank final) or an S-suffix of a larger bucket.
+    # Absolute ranks are comparable directly (L-parts precede S-parts and
+    # bucket layout is global), so the γ-key is one word.
+    s_count = jnp.zeros((N_SYM,), jnp.int32).at[sym].add(
+        jnp.where(is_s, 1, 0)
+    )
+    s_part_start = tails - s_count
+    s_seg_key = jnp.where(is_s, sym, jnp.int32(N_SYM))
+
+    def s_cond(state):
+        s_rank, rounds = state
+        return jnp.any(is_s & (s_rank == INF)) & (rounds < max_rounds)
+
+    def s_round(state):
+        s_rank, rounds = state
+        g_l = jnp.take(is_l, g_clip)
+        g_abs = jnp.where(g_l, jnp.take(l_rank, g_clip),
+                          jnp.take(s_rank, g_clip))
+        ready = g_abs != INF  # S γ always exists (PAD tail is L-typed)
+        not_ready = jnp.where(ready, 0, 1).astype(jnp.int32)
+        neg_m = -m
+        sk, srdy, _, _, sidx = jax.lax.sort(
+            (s_seg_key, not_ready, neg_m, g_abs, idx), num_keys=4
+        )
+        pos, _ = _segment_positions(sk)
+        seg_end_ready = _own_segment_end_value(sk, 2 - srdy)
+        base = jnp.take(s_part_start, jnp.minimum(sk, N_SYM - 1))
+        cand = base + pos
+        ok = (sk < N_SYM) & (seg_end_ready == 2)
+        new_rank = jnp.full((n,), INF, jnp.int32).at[sidx].set(
+            jnp.where(ok, cand, INF)
+        )
+        return new_rank, rounds + 1
+
+    s_rank0 = jnp.full((n,), INF, jnp.int32)
+    s_rank, _ = jax.lax.while_loop(s_cond, s_round, (s_rank0, jnp.int32(0)))
+
+    rank = jnp.where(is_l, l_rank, s_rank)
+    sa = jnp.zeros((n,), jnp.int32).at[rank].set(idx)
+    return sa
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _lms_class_rank_from_doubling(text: jax.Array) -> jax.Array:
+    """LMS class ranks via the doubling engine (recursion stand-in)."""
+    from suffix_tpu.ops.prefix_doubling import _suffix_array_padded
+
+    n = text.shape[0]
+    _, is_lms = classify_types(text)
+    sa = _suffix_array_padded(text)
+    flag = jnp.take(is_lms, sa).astype(jnp.int32)
+    class_rank_sorted = jnp.cumsum(flag) - flag
+    return jnp.zeros((n,), jnp.int32).at[sa].set(class_rank_sorted)
+
+
+def suffix_array_sais(data: bytes | np.ndarray) -> np.ndarray:
+    """Suffix array via the SA-IS-structured engine (uint32 offsets)."""
+    arr = (
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    n = int(arr.shape[0])
+    if n == 0:
+        return np.empty((0,), dtype=np.uint32)
+    n_pad = bucket_size(n)
+    padded = np.full((n_pad,), PAD, dtype=np.int32)
+    padded[:n] = arr
+    t = jnp.asarray(padded)
+    lms_rank = _lms_class_rank_from_doubling(t)
+    sa_full = np.asarray(_derive_sa(t, lms_rank))
+    return sa_full[n_pad - n:].astype(np.uint32)

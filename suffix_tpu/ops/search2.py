@@ -1,0 +1,322 @@
+"""Accelerated batched query engine.
+
+Same contract as ops/search.py (reference: src/table.rs:197-293) but
+engineered for device throughput — no per-probe gather chains in the hot
+path:
+
+1. **Packed prefix keys** (built once per index): for every rank r, the
+   first 12 bytes of its suffix packed as four int32 words of three 9-bit
+   symbols each (symbol = byte+1, 0 = past-the-end — the same sentinel
+   encoding as construction). Key order == suffix order for the first 12
+   bytes.
+2. **Merge-join bounds**: because query keys are zero-padded past qlen,
+   the masked lower-bound comparison ``(pk & mask) < qk`` equals the
+   unmasked ``pk < qk`` (extra suffix symbols only increase pk), and the
+   masked upper-bound comparison ``(pk & mask) > qk`` equals
+   ``pk > qk_hi`` with the masked symbols max-filled. Both bounds are
+   therefore plain searchsorted with a uniform comparator — resolved for
+   the whole batch by ONE device sort of [keys ++ lower-queries ++
+   upper-queries] with tie codes (-1 lower / 0 key / +1 upper), reading
+   each query row's exclusive preceding-key count. For huge indexes the
+   keys are strided ("fences") and one coalesced block count finishes the
+   job.
+3. **Refine phase** (only when some query exceeds 12 bytes): windowed
+   byte comparison within the narrowed range, a lockstep ``while_loop``
+   that exits as soon as every lane converges.
+
+A probe-chain engine (``bounds_batch_fast``) is kept for cross-checking
+and latency-sensitive single queries. positions()/contains()/count()
+semantics are bit-identical to ops/search.py (pinned by
+tests/test_search2.py which diffs the engines).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from suffix_tpu.ops.padding import PAD
+from suffix_tpu.ops.search import _cmp_suffix_query
+
+SYM_BITS = 9
+SYMS_PER_WORD = 3
+KEY_WORDS = 4
+KEY_SYMS = KEY_WORDS * SYMS_PER_WORD  # 12
+LUT_SIDE = 257  # symbol alphabet: 0 (end) + 256 byte values
+WORD_MASK = (1 << (SYM_BITS * SYMS_PER_WORD)) - 1  # 27 bits
+PAD_KEY = 0x7FFFFFFF  # above every real key word
+
+
+def _pack3(s0, s1, s2):
+    return (s0 << 18) | (s1 << 9) | s2
+
+
+@functools.partial(jax.jit, static_argnames=())
+def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array):
+    """Packed rank keys (KEY_WORDS words) + 2-symbol LUT.
+
+    ``text`` is the PAD-padded int32 text, ``table`` the padded suffix
+    table (entries beyond n_table are zero).
+    """
+    n_pad = text.shape[0]
+    # Symbols: byte+1 in [1,256]; PAD (-1) and the appended zeros both map
+    # to 0 — the end-of-text sentinel.
+    sym = (text + 1).astype(jnp.int32)
+    zero = jnp.zeros((KEY_SYMS - 1,), jnp.int32)
+    s = [jnp.concatenate([sym[k:], zero[:k]]) for k in range(KEY_SYMS)]
+    mask_real = jnp.arange(n_pad) < n_table
+    pk = []
+    for w in range(KEY_WORDS):
+        word_text = _pack3(s[3 * w], s[3 * w + 1], s[3 * w + 2])
+        word = jnp.take(word_text, table)
+        pk.append(jnp.where(mask_real, word, jnp.int32(PAD_KEY)))
+
+    # LUT over the leading two symbols: first rank with 2-symbol value >= v.
+    s0 = pk[0] >> (2 * SYM_BITS)
+    s1 = (pk[0] >> SYM_BITS) & (2**SYM_BITS - 1)
+    v = jnp.where(mask_real, s0 * LUT_SIDE + s1, LUT_SIDE * LUT_SIDE)
+    targets = jnp.arange(LUT_SIDE * LUT_SIDE + 1, dtype=jnp.int32)
+    lut = jnp.searchsorted(v, targets, side="left").astype(jnp.int32)
+    return tuple(pk), lut
+
+
+def _batch_query_keys(queries: jax.Array, qlens: jax.Array):
+    """(qk, qk_hi): lists of KEY_WORDS packed words per query.
+
+    qk zero-fills symbols past qlen (lower-bound form); qk_hi max-fills
+    them (upper-bound form).
+    """
+    n_q, m = queries.shape
+    cols = jnp.arange(m, dtype=jnp.int32)
+    syms = jnp.where(cols[None, :] < qlens[:, None], queries + 1, 0)
+    syms = syms.astype(jnp.int32)
+    pad = jnp.zeros((n_q, KEY_SYMS), jnp.int32)
+    full = jnp.concatenate([syms, pad], axis=1)[:, :KEY_SYMS]
+    qk, qk_hi = [], []
+    for w in range(KEY_WORDS):
+        word = _pack3(full[:, 3 * w], full[:, 3 * w + 1], full[:, 3 * w + 2])
+        k = jnp.clip(qlens - 3 * w, 0, 3)
+        mask = jnp.int32(WORD_MASK) & ~((1 << (SYM_BITS * (3 - k))) - 1)
+        qk.append(word)
+        qk_hi.append(word | (jnp.int32(WORD_MASK) & ~mask))
+    return qk, qk_hi
+
+
+def _fence_ranks_both(fk: list, qk: list, qk_hi: list):
+    """One sort resolves both bounds for the whole batch.
+
+    Merge [keys ++ lower-queries ++ upper-queries]; tie codes make
+    lower-queries sort before equal keys (side='left') and upper-queries
+    after (side='right'). Each query row's exclusive count of preceding
+    keys is its searchsorted rank.
+    """
+    n_f = fk[0].shape[0]
+    n_q = qk[0].shape[0]
+    ks = [jnp.concatenate([f, lo, hi]) for f, lo, hi in zip(fk, qk, qk_hi)]
+    tie = jnp.concatenate([
+        jnp.zeros((n_f,), jnp.int32),
+        jnp.full((n_q,), -1, jnp.int32),
+        jnp.full((n_q,), 1, jnp.int32),
+    ])
+    qid = jnp.concatenate([
+        jnp.full((n_f,), 2 * n_q, jnp.int32),
+        jnp.arange(n_q, dtype=jnp.int32),
+        jnp.arange(n_q, 2 * n_q, dtype=jnp.int32),
+    ])
+    out_ops = jax.lax.sort(tuple(ks) + (tie, qid), num_keys=KEY_WORDS + 1)
+    sqid = out_ops[-1]
+    is_fence = (sqid == 2 * n_q).astype(jnp.int32)
+    fences_before = jnp.cumsum(is_fence) - is_fence  # exclusive
+    out = jnp.zeros((2 * n_q + 1,), jnp.int32).at[sqid].set(fences_before)
+    return out[:n_q], out[n_q:2 * n_q]
+
+
+def _block_count(pk: list, starts, qk: list, less_equal: bool, stride: int):
+    """count of keys in pk[start : start+stride] below the query key."""
+    offs = jnp.arange(stride, dtype=jnp.int32)
+    pos = starts[:, None] + offs[None, :]
+    words = [jnp.take(w, pos, mode="fill", fill_value=PAD_KEY) for w in pk]
+    lt = jnp.zeros(pos.shape, bool)
+    eq = jnp.ones(pos.shape, bool)
+    for w, q in zip(words, qk):
+        qc = q[:, None]
+        lt = lt | (eq & (w < qc))
+        eq = eq & (w == qc)
+    if less_equal:
+        lt = lt | eq
+    return jnp.sum(lt.astype(jnp.int32), axis=1)
+
+
+def _fence_stride(n_pad: int) -> int:
+    """Stride 1 (pure merge, zero gathers) for moderate indexes; coarser
+    fences + one coalesced block count once the merge sort would dominate."""
+    if n_pad <= (1 << 22):
+        return 1
+    return 16
+
+
+def _refine_one(text, n_text, table, query, qlen, start, end):
+    """Byte-level refinement within the prefix-equal range (qlen > 12)."""
+
+    def lower_step(lr):
+        left, right = lr
+        active = left < right
+        mid = (left + right) // 2
+        sufi = jnp.take(table, mid, mode="fill", fill_value=0).astype(jnp.int32)
+        lt, _ = _cmp_suffix_query(text, n_text, sufi, query, qlen)
+        pred = jnp.logical_not(lt)
+        nl = jnp.where(pred, left, mid + 1)
+        nr = jnp.where(pred, mid, right)
+        return jnp.where(active, nl, left), jnp.where(active, nr, right)
+
+    def upper_step(lr):
+        left, right = lr
+        active = left < right
+        mid = (left + right) // 2
+        sufi = jnp.take(table, mid, mode="fill", fill_value=0).astype(jnp.int32)
+        _, gt = _cmp_suffix_query(text, n_text, sufi, query, qlen)
+        nl = jnp.where(gt, left, mid + 1)
+        nr = jnp.where(gt, mid, right)
+        return jnp.where(active, nl, left), jnp.where(active, nr, right)
+
+    def step(state):
+        (ll, lr), (ul, ur) = state
+        return lower_step((ll, lr)), upper_step((ul, ur))
+
+    def not_converged(state):
+        (ll, lr), (ul, ur) = state
+        return (ll < lr) | (ul < ur)
+
+    state = ((start, end), (start, end))
+    state = jax.lax.while_loop(not_converged, step, state)
+    (s_lo, _), (s_up, _) = state
+    return s_lo, s_up
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "max_qlen"))
+def bounds_batch_merge(text, n_text, table, n_table, pk,
+                       queries, qlens, n_iters: int, max_qlen: int):
+    """(start, count) per query via the merge-join engine."""
+    del n_iters
+    qk, qk_hi = _batch_query_keys(queries, qlens)
+
+    stride = _fence_stride(pk[0].shape[0])
+    fk = [w[::stride] for w in pk]
+
+    r_lo, r_up = _fence_ranks_both(fk, qk, qk_hi)
+
+    if stride == 1:
+        start = r_lo  # first rank with pk >= qk
+        end = r_up    # first rank with pk > qk_hi
+    else:
+        s_lo = jnp.maximum(r_lo - 1, 0) * stride
+        start = s_lo + _block_count(pk, s_lo, qk, less_equal=False,
+                                    stride=stride)
+        s_up = jnp.maximum(r_up - 1, 0) * stride
+        end = s_up + _block_count(pk, s_up, qk_hi, less_equal=True,
+                                  stride=stride)
+
+    start = jnp.minimum(start, n_table)
+    end = jnp.minimum(end, n_table)
+
+    if max_qlen > KEY_SYMS:
+        long_q = qlens > KEY_SYMS
+
+        def refine(query, qlen, rs, re):
+            return _refine_one(text, n_text, table, query, qlen, rs, re)
+
+        rs = jnp.where(long_q, start, 0)
+        re = jnp.where(long_q, end, 0)
+        r_start, r_end = jax.vmap(refine)(queries, qlens, rs, re)
+        start = jnp.where(long_q, r_start, start)
+        end = jnp.where(long_q, r_end, end)
+
+    empty = (qlens == 0) | (n_table == 0)
+    start = jnp.where(empty, 0, start)
+    count = jnp.where(empty, 0, jnp.maximum(end - start, 0))
+    return start, count
+
+
+# ---------------------------------------------------------------------------
+# Probe-chain engine (kept for cross-checks / tiny batches)
+# ---------------------------------------------------------------------------
+
+def _query_keys_one(query: jax.Array, qlen: jax.Array):
+    """First-2-word packed keys + masks for a single query."""
+    m = query.shape[0]
+    syms = jnp.where(jnp.arange(m) < qlen, query + 1, 0).astype(jnp.int32)
+    pad = jnp.zeros((6,), jnp.int32)
+    full = jnp.concatenate([syms, pad])[:6]
+    qk1 = _pack3(full[0], full[1], full[2])
+    qk2 = _pack3(full[3], full[4], full[5])
+    k1 = jnp.clip(qlen, 0, 3)
+    k2 = jnp.clip(qlen - 3, 0, 3)
+    full_mask = jnp.int32(WORD_MASK)
+    m1 = full_mask & ~((1 << (SYM_BITS * (3 - k1))) - 1)
+    m2 = full_mask & ~((1 << (SYM_BITS * (3 - k2))) - 1)
+    return qk1, qk2, m1, m2
+
+
+def _bounds_keys_one(pk1, pk2, lut, n_table, query, qlen, n_iters):
+    """Fused (lower, upper) probe search over the first two key words.
+
+    Exact for qlen <= 6; for longer queries returns the 6-symbol
+    prefix-equal range.
+    """
+    qk1, qk2, m1, m2 = _query_keys_one(query, qlen)
+
+    s0 = (qk1 >> 18) & 0x1FF
+    s1 = (qk1 >> 9) & 0x1FF
+    v_lo = jnp.where(qlen >= 2, s0 * LUT_SIDE + s1, s0 * LUT_SIDE)
+    v_hi = jnp.where(qlen >= 2, v_lo + 1, (s0 + 1) * LUT_SIDE)
+    lo0 = jnp.minimum(jnp.take(lut, v_lo), n_table)
+    hi0 = jnp.minimum(jnp.take(lut, v_hi), n_table)
+
+    def probe(bound_state):
+        ll, lr, ul, ur = bound_state
+        lmid = (ll + lr) // 2
+        umid = (ul + ur) // 2
+        la1 = jnp.take(pk1, lmid, mode="fill", fill_value=0) & m1
+        la2 = jnp.take(pk2, lmid, mode="fill", fill_value=0) & m2
+        ua1 = jnp.take(pk1, umid, mode="fill", fill_value=0) & m1
+        ua2 = jnp.take(pk2, umid, mode="fill", fill_value=0) & m2
+        l_lt = (la1 < qk1) | ((la1 == qk1) & (la2 < qk2))
+        l_pred = jnp.logical_not(l_lt)
+        u_pred = (ua1 > qk1) | ((ua1 == qk1) & (ua2 > qk2))
+        l_act = ll < lr
+        u_act = ul < ur
+        ll = jnp.where(l_act, jnp.where(l_pred, ll, lmid + 1), ll)
+        lr = jnp.where(l_act, jnp.where(l_pred, lmid, lr), lr)
+        ul = jnp.where(u_act, jnp.where(u_pred, ul, umid + 1), ul)
+        ur = jnp.where(u_act, jnp.where(u_pred, umid, ur), ur)
+        return ll, lr, ul, ur
+
+    state = (lo0, hi0, lo0, hi0)
+    state = jax.lax.fori_loop(0, n_iters, lambda _, s: probe(s), state)
+    start, _, end, _ = state
+    return start, end
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "max_qlen"))
+def bounds_batch_fast(text, n_text, table, n_table, pk1, pk2, lut,
+                      queries, qlens, n_iters: int, max_qlen: int):
+    """(start, count) per query via LUT + probe chains over packed keys."""
+
+    def one(query, qlen):
+        start, end = _bounds_keys_one(pk1, pk2, lut, n_table, query, qlen,
+                                      n_iters)
+        long_q = qlen > 6
+        rs = jnp.where(long_q, start, 0)
+        re = jnp.where(long_q, end, 0)
+        r_start, r_end = _refine_one(text, n_text, table, query, qlen, rs, re)
+        start = jnp.where(long_q, r_start, start)
+        end = jnp.where(long_q, r_end, end)
+        empty = (qlen == 0) | (n_table == 0)
+        start = jnp.where(empty, 0, start)
+        count = jnp.where(empty, 0, jnp.maximum(end - start, 0))
+        return start, count
+
+    return jax.vmap(one)(queries, qlens)

@@ -76,16 +76,23 @@ class SuffixTable:
     def new(cls, text, engine: str = "device") -> "SuffixTable":
         """Build the suffix table (reference: src/table.rs:78-85).
 
-        ``engine="device"`` runs the parallel prefix-doubling pipeline on
-        the default JAX device; ``engine="native"`` runs the linear-time
-        C++ SA-IS oracle on the host CPU. Both produce the identical
-        (unique) suffix array.
+        Engines (all produce the identical, unique suffix array):
+
+        - ``"device"``  — parallel prefix doubling on the default JAX
+          device (the fast path);
+        - ``"sais"``    — the SA-IS-structured device pipeline (LMS
+          sample + stratified induced derivation, ops/sais.py);
+        - ``"native"``  — linear-time C++ SA-IS on the host CPU.
         """
         raw, was_str = _as_bytes(text)
         if len(raw) > MAX_TEXT_LEN:
             raise ValueError("text is too large (max 2^32 - 1 bytes)")
         if engine == "device":
             table = prefix_doubling.suffix_array_bytes(raw)
+        elif engine == "sais":
+            from suffix_tpu.ops import sais
+
+            table = sais.suffix_array_sais(raw)
         elif engine == "native":
             from suffix_tpu import native
 
@@ -178,6 +185,12 @@ class SuffixTable:
         self._dev_text = jnp.asarray(t)
         self._dev_table = jnp.asarray(tab)
         self._n_iters = max(1, (n_pad + 1).bit_length())
+        # Query accelerators: packed prefix keys + 2-symbol LUT.
+        from suffix_tpu.ops import search2
+
+        self._pk, self._lut = search2.build_query_index(
+            self._dev_text, self._dev_table, jnp.int32(n)
+        )
 
     def _bounds_batch(self, queries: Sequence) -> tuple[np.ndarray, np.ndarray]:
         """Vector of (start, count) rank bounds for a query batch.
@@ -194,10 +207,13 @@ class SuffixTable:
         full_q[:nq, : q.shape[1]] = q
         full_lens = np.zeros((q_pad,), dtype=np.int32)
         full_lens[:nq] = qlens
-        starts, counts = search_ops.bounds_batch(
+        from suffix_tpu.ops import search2
+
+        starts, counts = search2.bounds_batch_merge(
             self._dev_text, jnp.int32(len(self)), self._dev_table,
-            jnp.int32(len(self)), jnp.asarray(full_q), jnp.asarray(full_lens),
-            self._n_iters,
+            jnp.int32(len(self)), self._pk,
+            jnp.asarray(full_q), jnp.asarray(full_lens),
+            self._n_iters, m_pad,
         )
         return np.asarray(starts)[:nq], np.asarray(counts)[:nq]
 

@@ -1,0 +1,110 @@
+"""SA-IS-structured engine: components + full derivation vs the oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from suffix_tpu import SuffixTable
+from suffix_tpu.ops import sais
+from suffix_tpu.ops.naive import naive_table
+from suffix_tpu.ops.padding import PAD
+
+
+def pad_text(b: bytes, extra: int = 0):
+    arr = np.frombuffer(b, dtype=np.uint8)
+    out = np.full(len(b) + extra, PAD, np.int32)
+    out[: len(b)] = arr
+    return jnp.asarray(out)
+
+
+def ref_types(b: bytes):
+    """Reference semantics (src/table.rs:592-615), host re-derivation."""
+    n = len(b)
+    is_s = [False] * n
+    if n == 0:
+        return is_s, [False] * n
+    # last char is L (Descending)
+    for i in range(n - 2, -1, -1):
+        if b[i] < b[i + 1]:
+            is_s[i] = True
+        elif b[i] == b[i + 1]:
+            is_s[i] = is_s[i + 1]
+    is_lms = [bool(i > 0 and is_s[i] and not is_s[i - 1]) for i in range(n)]
+    return is_s, is_lms
+
+
+@pytest.mark.parametrize("text", [b"banana", b"mississippi", b"aab",
+                                  b"tgtgtgtgcaccg", b"\x00\xff\x00",
+                                  b"cabbage", b"zyxwv"])
+def test_classify_types(text):
+    exp_s, exp_lms = ref_types(text)
+    is_s, is_lms = sais.classify_types(pad_text(text))
+    got_s = np.asarray(is_s)[: len(text)].tolist()
+    got_lms = np.asarray(is_lms)[: len(text)].tolist()
+    assert got_s == exp_s, text
+    assert got_lms == exp_lms, text
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=1, max_size=64))
+def test_prop_classify(b):
+    exp_s, exp_lms = ref_types(b)
+    is_s, is_lms = sais.classify_types(pad_text(b, extra=5))
+    assert np.asarray(is_s)[: len(b)].tolist() == exp_s
+    assert np.asarray(is_lms)[: len(b)].tolist() == exp_lms
+
+
+def test_run_decompose():
+    t = pad_text(b"aaabbc")
+    m, gamma = sais.run_decompose(t)
+    assert np.asarray(m).tolist() == [3, 2, 1, 2, 1, 1]
+    assert np.asarray(gamma).tolist() == [3, 3, 3, 5, 5, 6]
+
+
+def test_bucket_layout():
+    t = pad_text(b"banana", extra=2)
+    counts, heads, tails = sais.bucket_layout(t)
+    c = np.asarray(counts)
+    assert c[0] == 2  # PAD padding
+    assert c[ord("a") + 1] == 3
+    assert c[ord("b") + 1] == 1
+    assert c[ord("n") + 1] == 2
+    h = np.asarray(heads)
+    assert h[ord("a") + 1] == 2  # after the two PAD slots
+
+
+DIRECTED = [b"banana", b"mississippi", b"apple", b"tgtgtgtgcaccg", b"a",
+            b"aa", b"ab", b"ba", b"\x00", b"abcabcabc", b"zzzzza",
+            b"azzzzz", b"aaaaabaaaaab", bytes(range(256)),
+            bytes(reversed(range(256))), "☃abc☃".encode()]
+
+
+@pytest.mark.parametrize("text", DIRECTED, ids=lambda b: repr(b)[:16])
+def test_sais_directed(text):
+    assert np.array_equal(sais.suffix_array_sais(text), naive_table(text))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=1, max_size=96))
+def test_prop_sais(b):
+    assert np.array_equal(sais.suffix_array_sais(b), naive_table(b))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="ab\x00", min_size=1, max_size=64))
+def test_prop_sais_small_alphabet(s):
+    b = s.encode()
+    assert np.array_equal(sais.suffix_array_sais(b), naive_table(b))
+
+
+def test_sais_dna(dna_10k):
+    assert np.array_equal(
+        sais.suffix_array_sais(dna_10k), SuffixTable.new(dna_10k).table()
+    )
+
+
+def test_descending_chain():
+    # Maximal strictly-descending chains stress the round bound.
+    b = bytes(range(255, -1, -1)) * 2
+    assert np.array_equal(sais.suffix_array_sais(b), naive_table(b))

@@ -1,0 +1,142 @@
+"""Fast query engine (packed-key + LUT) vs the v1 windowed engine.
+
+Both must produce identical (start, count) bounds on every input; v1 is
+itself pinned to the reference semantics by tests/test_search.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from hypothesis import given, settings, strategies as st
+
+from suffix_tpu import SuffixTable
+from suffix_tpu.ops import search as s1
+from suffix_tpu.ops import search2 as s2
+from suffix_tpu.ops.padding import PAD, bucket_size
+
+
+def both_engines(text: bytes, queries):
+    st_ = SuffixTable.new(text)
+    n = len(st_)
+    n_pad = bucket_size(max(n, 1))
+    t = np.full((n_pad,), PAD, dtype=np.int32)
+    t[:n] = np.frombuffer(text, dtype=np.uint8)
+    tab = np.zeros((n_pad,), dtype=np.int32)
+    tab[:n] = st_.table()
+    t_dev, tab_dev = jnp.asarray(t), jnp.asarray(tab)
+    n_iters = max(1, (n_pad + 1).bit_length())
+    q, qlens = s1.pack_queries(queries)
+    q_dev, qlens_dev = jnp.asarray(q), jnp.asarray(qlens)
+
+    v1 = s1.bounds_batch(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
+                         q_dev, qlens_dev, n_iters)
+    pk, lut = s2.build_query_index(t_dev, tab_dev, jnp.int32(n))
+    v2 = s2.bounds_batch_fast(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
+                              pk[0], pk[1], lut, q_dev, qlens_dev,
+                              n_iters, q.shape[1])
+    v3 = s2.bounds_batch_merge(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
+                               pk, q_dev, qlens_dev, n_iters, q.shape[1])
+    v1 = tuple(np.asarray(x) for x in v1)
+    v3 = tuple(np.asarray(x) for x in v3)
+    assert np.array_equal(v1[1], v3[1]), (text, queries, v1[1], v3[1])
+    live = v1[1] > 0
+    assert np.array_equal(v1[0][live], v3[0][live]), (text, queries)
+    return v1, tuple(np.asarray(x) for x in v2)
+
+
+def assert_same(text, queries):
+    (s1_, c1), (s2_, c2) = both_engines(text, queries)
+    assert np.array_equal(c1, c2), (text, queries, c1, c2)
+    # start only meaningful when count > 0
+    live = c1 > 0
+    assert np.array_equal(s1_[live], s2_[live]), (text, queries)
+
+
+def test_directed():
+    text = b"the quick brown fox was quick."
+    assert_same(text, ["quick", "q", "", "the quick brown fox was quick.",
+                       "zebra", ".", " ", "quick.", "quick.x", "th", "qu",
+                       "quicksand"])
+
+
+def test_short_and_long_boundary():
+    # Queries of length 5, 6, 7 straddle the packed-key width.
+    text = b"abcdefabcdefabcdefxyz"
+    assert_same(text, ["abcde", "abcdef", "abcdefa", "abcdefx", "bcdefa",
+                       "abcdefabcdefabcdefxyz", "abcdefabcdefabcdefxyzQ"])
+
+
+def test_degenerate_runs():
+    assert_same(b"a" * 500, ["a", "aa", "aaaaaa", "aaaaaaa", "a" * 100,
+                             "a" * 500, "a" * 501, "b"])
+
+
+def test_nul_bytes():
+    assert_same(b"\x00\x00a\x00b", [b"\x00", b"\x00a", b"\x00\x00",
+                                    b"a\x00b", b"b\x00"])
+
+
+def test_high_bytes():
+    assert_same(bytes(range(250, 256)) * 9, [bytes([255]), bytes([250, 251]),
+                                             bytes(range(250, 256)) * 2])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=80),
+       st.lists(st.binary(min_size=0, max_size=12), min_size=1, max_size=6))
+def test_prop_engines_agree(text, queries):
+    assert_same(text, queries)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="ab", max_size=60),
+       st.lists(st.text(alphabet="ab", max_size=9), min_size=1, max_size=4))
+def test_prop_dense(text, queries):
+    assert_same(text.encode(), [q.encode() for q in queries])
+
+
+def test_end_to_end_table_api(dna_10k):
+    # The public API now routes through the fast engine; re-pin reference
+    # semantics directly.
+    st_ = SuffixTable.new(dna_10k)
+    probes = [dna_10k[i:i + 7] for i in range(0, 3000, 151)]
+    probes += [dna_10k[i:i + 31] for i in range(0, 3000, 307)] + [b"NOPE"]
+    for q, got in zip(probes, st_.positions_batch(probes)):
+        out, i = [], dna_10k.find(q)
+        while i != -1:
+            out.append(i)
+            i = dna_10k.find(q, i + 1)
+        assert sorted(got.tolist()) == out
+
+
+def test_merge_engine_agrees():
+    # The merge-join engine must match v1 exactly too.
+    import jax.numpy as jnp
+    from suffix_tpu.ops import search as s1_, search2 as s2_
+    texts = [b"the quick brown fox was quick.", b"a" * 300, b"\x00ab\x00",
+             bytes(range(256)) * 3, b"banana" * 20]
+    queriesets = [["quick", "", "a", "an", "banana", "nanana", "\x00",
+                   "the quick brown fox was quick.", "xyzzy", "aaaaaaa"]]
+    for text in texts:
+        for queries in queriesets:
+            st_ = SuffixTable.new(text)
+            n = len(st_)
+            n_pad = bucket_size(max(n, 1))
+            t = np.full((n_pad,), PAD, dtype=np.int32)
+            t[:n] = np.frombuffer(text, dtype=np.uint8)
+            tab = np.zeros((n_pad,), dtype=np.int32)
+            tab[:n] = st_.table()
+            t_dev, tab_dev = jnp.asarray(t), jnp.asarray(tab)
+            n_iters = max(1, (n_pad + 1).bit_length())
+            q, qlens = s1_.pack_queries(queries)
+            v1 = s1_.bounds_batch(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
+                                  jnp.asarray(q), jnp.asarray(qlens), n_iters)
+            pk, _ = s2_.build_query_index(t_dev, tab_dev, jnp.int32(n))
+            v3 = s2_.bounds_batch_merge(t_dev, jnp.int32(n), tab_dev,
+                                        jnp.int32(n), pk,
+                                        jnp.asarray(q), jnp.asarray(qlens),
+                                        n_iters, q.shape[1])
+            s1a, c1 = (np.asarray(x) for x in v1)
+            s3a, c3 = (np.asarray(x) for x in v3)
+            assert np.array_equal(c1, c3), (text, c1, c3)
+            live = c1 > 0
+            assert np.array_equal(s1a[live], s3a[live]), text
