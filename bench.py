@@ -76,7 +76,7 @@ def main() -> None:
 
     # --- batched queries on the 4 MiB index (merge-join engine) ----------
     sa_dev = jnp.asarray(np.asarray(sa).astype(np.int32))
-    pk, _lut = search_ops.build_query_index(t_dev, sa_dev, jnp.int32(n))
+    pk, pk_block, _lut = search_ops.build_query_index(t_dev, sa_dev, jnp.int32(n))
     sync(pk)
     n_q = 65536
     qlen = 14  # the reference's many-match bench pattern length
@@ -84,7 +84,7 @@ def main() -> None:
     queries = np.stack([corpus[s : s + qlen] for s in starts]).astype(np.int32)
     qlens = np.full((n_q,), qlen, dtype=np.int32)
     n_iters = (n + 1).bit_length()
-    args = (t_dev, jnp.int32(n), sa_dev, jnp.int32(n), pk,
+    args = (t_dev, jnp.int32(n), sa_dev, jnp.int32(n), pk, pk_block,
             jnp.asarray(queries), jnp.asarray(qlens), n_iters, qlen)
     sync(search_ops.bounds_batch_merge(*args))  # compile
     dt_q = _median_time(lambda: sync(search_ops.bounds_batch_merge(*args)))

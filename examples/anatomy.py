@@ -1,0 +1,11 @@
+"""Anatomy of a suffix table — the reference's examples/anatomy.rs."""
+from suffix_tpu import SuffixTable
+
+st = SuffixTable.new("the quick brown fox was quick.")
+print(st)  # full rank/sufstart/suffix dump, like the reference Debug impl
+
+result = st.positions("quick")
+print("search result:", result.tolist())
+assert sorted(result.tolist()) == [4, 24]
+for i in result:
+    print(f"quick found! Starts at index: {i}")

@@ -1,0 +1,11 @@
+"""TPU-native addition: thousands of patterns in one device dispatch."""
+import numpy as np
+from suffix_tpu import SuffixTable
+
+rng = np.random.default_rng(0)
+text = rng.integers(0, 4, size=1 << 16, dtype=np.uint8) + ord("a")
+st = SuffixTable.new(text.tobytes())
+
+patterns = [text[i : i + 8].tobytes() for i in range(0, 4096, 16)]
+counts = st.count_batch(patterns)
+print(f"{len(patterns)} patterns, total occurrences: {int(counts.sum())}")

@@ -80,7 +80,16 @@ def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array):
     v = jnp.where(mask_real, s0 * LUT_SIDE + s1, LUT_SIDE * LUT_SIDE)
     targets = jnp.arange(LUT_SIDE * LUT_SIDE + 1, dtype=jnp.int32)
     lut = jnp.searchsorted(v, targets, side="left").astype(jnp.int32)
-    return tuple(pk), lut
+
+    # Blocked layout for the fence engine: (n/stride, words, stride),
+    # contiguous per block so one row-gather fetches a whole block of all
+    # key words (row gathers are ~4x faster than element gathers on TPU).
+    stride = _fence_stride(n_pad)
+    if stride > 1:
+        pk_block = jnp.stack([w.reshape(-1, stride) for w in pk], axis=1)
+    else:
+        pk_block = None
+    return tuple(pk), pk_block, lut
 
 
 def _batch_query_keys(queries: jax.Array, qlens: jax.Array):
@@ -134,26 +143,31 @@ def _fence_ranks_both(fk: list, qk: list, qk_hi: list):
     return out[:n_q], out[n_q:2 * n_q]
 
 
-def _block_count(pk: list, starts, qk: list, less_equal: bool, stride: int):
-    """count of keys in pk[start : start+stride] below the query key."""
-    offs = jnp.arange(stride, dtype=jnp.int32)
-    pos = starts[:, None] + offs[None, :]
-    words = [jnp.take(w, pos, mode="fill", fill_value=PAD_KEY) for w in pk]
-    lt = jnp.zeros(pos.shape, bool)
-    eq = jnp.ones(pos.shape, bool)
-    for w, q in zip(words, qk):
+def _block_count(pk_block, blocks, qk: list, less_equal: bool):
+    """count of keys in block ``blocks[q]`` below query q's key.
+
+    One row-gather fetches (words, stride) per query — all consecutive
+    bytes — then pure vector compares.
+    """
+    rows = jnp.take(pk_block, blocks, axis=0)  # (Q, W, S)
+    q_shape = (blocks.shape[0], pk_block.shape[2])
+    lt = jnp.zeros(q_shape, bool)
+    eq = jnp.ones(q_shape, bool)
+    for w, q in enumerate(qk):
+        vals = rows[:, w, :]
         qc = q[:, None]
-        lt = lt | (eq & (w < qc))
-        eq = eq & (w == qc)
+        lt = lt | (eq & (vals < qc))
+        eq = eq & (vals == qc)
     if less_equal:
         lt = lt | eq
     return jnp.sum(lt.astype(jnp.int32), axis=1)
 
 
 def _fence_stride(n_pad: int) -> int:
-    """Stride 1 (pure merge, zero gathers) for moderate indexes; coarser
-    fences + one coalesced block count once the merge sort would dominate."""
-    if n_pad <= (1 << 22):
+    """Pure merge (stride 1, zero gathers) only for tiny indexes; blocked
+    fences otherwise — the fence sort is ~13x cheaper than re-sorting the
+    whole key array and the block fetch is one coalesced row-gather."""
+    if n_pad <= (1 << 12):
         return 1
     return 16
 
@@ -197,7 +211,7 @@ def _refine_one(text, n_text, table, query, qlen, start, end):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "max_qlen"))
-def bounds_batch_merge(text, n_text, table, n_table, pk,
+def bounds_batch_merge(text, n_text, table, n_table, pk, pk_block,
                        queries, qlens, n_iters: int, max_qlen: int):
     """(start, count) per query via the merge-join engine."""
     del n_iters
@@ -212,12 +226,12 @@ def bounds_batch_merge(text, n_text, table, n_table, pk,
         start = r_lo  # first rank with pk >= qk
         end = r_up    # first rank with pk > qk_hi
     else:
-        s_lo = jnp.maximum(r_lo - 1, 0) * stride
-        start = s_lo + _block_count(pk, s_lo, qk, less_equal=False,
-                                    stride=stride)
-        s_up = jnp.maximum(r_up - 1, 0) * stride
-        end = s_up + _block_count(pk, s_up, qk_hi, less_equal=True,
-                                  stride=stride)
+        b_lo = jnp.maximum(r_lo - 1, 0)
+        start = b_lo * stride + _block_count(pk_block, b_lo, qk,
+                                             less_equal=False)
+        b_up = jnp.maximum(r_up - 1, 0)
+        end = b_up * stride + _block_count(pk_block, b_up, qk_hi,
+                                           less_equal=True)
 
     start = jnp.minimum(start, n_table)
     end = jnp.minimum(end, n_table)

@@ -30,6 +30,7 @@ permutation, with PAD (-1) below the text acting as the implicit sentinel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -89,62 +90,70 @@ def _left_boundary(x: jax.Array, n_dev: int, fill) -> jax.Array:
     return jnp.concatenate([incoming, x[:-1]])
 
 
-def _dist_build_shard(text_local: jax.Array, n_local: int, n_dev: int):
-    """Per-device body (under shard_map): returns the local SA slice.
+def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
+    """One doubling round, per-device view (under shard_map).
 
-    The returned slice is in *sorted order* layout: device d holds ranks
-    [d*n_local, (d+1)*n_local) of the global suffix array.
+    Returns (rank_new, sa_sorted, next_k, done); sa_sorted is the current
+    global order in sorted layout (device d holds ranks [d*L, (d+1)*L)).
     """
     n_total = n_local * n_dev
     me = jax.lax.axis_index(AXIS)
     lidx = jnp.arange(n_local, dtype=jnp.int32)
     gidx = (me * n_local + lidx).astype(jnp.int32)
 
+    # second[i] = rank[i + k] with -1 past the end: all_gather + window.
+    rank_full = jax.lax.all_gather(rank_home, AXIS, tiled=True)
+    rank_ext = jnp.concatenate(
+        [rank_full, jnp.full((n_total,), -1, jnp.int32)]
+    )
+    start = me * n_local + jnp.minimum(k, n_total)
+    second = jax.lax.dynamic_slice(rank_ext, (start,), (n_local,))
+
+    r, s2, idx = _bitonic_global_sort(
+        [rank_home, second, gidx], num_keys=3, n_local=n_local, n_dev=n_dev
+    )
+
+    # Dense re-rank in sorted order.
+    r_prev = _left_boundary(r, n_dev, fill=-2)
+    s_prev = _left_boundary(s2, n_dev, fill=-2)
+    flag = ((r != r_prev) | (s2 != s_prev)).astype(jnp.int32)
+    flag = jnp.where((me == 0) & (lidx == 0), 0, flag)
+    local_cum = jnp.cumsum(flag)
+    totals = jax.lax.all_gather(local_cum[-1], AXIS)  # (n_dev,)
+    offset = jnp.sum(
+        jnp.where(jnp.arange(n_dev) < me, totals, 0), dtype=jnp.int32
+    )
+    dense = local_cum + offset
+
+    last_rank = jax.lax.psum(
+        jnp.where(me == n_dev - 1, dense[-1], 0), AXIS
+    )
+    done = (last_rank + 1) == n_total
+
+    # Route dense ranks back to home layout: global sort by suffix idx.
+    _, rank_new = _bitonic_global_sort(
+        [idx, dense], num_keys=1, n_local=n_local, n_dev=n_dev
+    )
+    next_k = jnp.where(k == 0, 1, k * 2)
+    return rank_new, idx, next_k, done
+
+
+def _dist_build_shard(text_local: jax.Array, n_local: int, n_dev: int):
+    """Per-device body (under shard_map): full build, returns the local
+    SA slice in sorted layout."""
+    n_total = n_local * n_dev
     rank0 = (text_local + 1).astype(jnp.int32)  # PAD -> 0, bytes -> 1..256
 
     def round_step(state):
         rank_home, _, k, _ = state
-        # second[i] = rank[i + k] with -1 past the end: all_gather + window.
-        rank_full = jax.lax.all_gather(rank_home, AXIS, tiled=True)
-        rank_ext = jnp.concatenate(
-            [rank_full, jnp.full((n_total,), -1, jnp.int32)]
-        )
-        start = me * n_local + jnp.minimum(k, n_total)
-        second = jax.lax.dynamic_slice(rank_ext, (start,), (n_local,))
-
-        r, s2, idx = _bitonic_global_sort(
-            [rank_home, second, gidx], num_keys=3, n_local=n_local, n_dev=n_dev
-        )
-
-        # Dense re-rank in sorted order.
-        r_prev = _left_boundary(r, n_dev, fill=-2)
-        s_prev = _left_boundary(s2, n_dev, fill=-2)
-        flag = ((r != r_prev) | (s2 != s_prev)).astype(jnp.int32)
-        flag = jnp.where((me == 0) & (lidx == 0), 0, flag)
-        local_cum = jnp.cumsum(flag)
-        totals = jax.lax.all_gather(local_cum[-1], AXIS)  # (n_dev,)
-        offset = jnp.sum(
-            jnp.where(jnp.arange(n_dev) < me, totals, 0), dtype=jnp.int32
-        )
-        dense = local_cum + offset
-
-        last_rank = jax.lax.psum(
-            jnp.where(me == n_dev - 1, dense[-1], 0), AXIS
-        )
-        done = (last_rank + 1) == n_total
-
-        # Route dense ranks back to home layout: global sort by suffix idx.
-        _, rank_new = _bitonic_global_sort(
-            [idx, dense], num_keys=1, n_local=n_local, n_dev=n_dev
-        )
-        next_k = jnp.where(k == 0, 1, k * 2)
-        return rank_new, idx, next_k, done
+        return _round_body(rank_home, k, n_local, n_dev)
 
     def cond(state):
         _, _, k, done = state
         return jnp.logical_not(done) & (k < n_total)
 
-    init = (rank0, gidx, jnp.int32(0), jnp.bool_(False))
+    gidx0 = jnp.zeros((n_local,), jnp.int32)
+    init = (rank0, gidx0, jnp.int32(0), jnp.bool_(False))
     # Always run the first round (k=0 orders by single characters).
     state = round_step(init)
     _, sa_local, _, _ = jax.lax.while_loop(cond, round_step, state)
@@ -157,6 +166,17 @@ def _dist_build_jit(text_sharded: jax.Array, n_local: int, n_dev: int, mesh: Mes
     return jax.shard_map(
         fn, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS), check_vma=False
     )(text_sharded)
+
+
+@functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))
+def _dist_step_jit(rank: jax.Array, k: jax.Array, n_local: int, n_dev: int,
+                   mesh: Mesh):
+    """One host-driven doubling round over the mesh (for checkpoint/resume)."""
+    fn = functools.partial(_round_body, n_local=n_local, n_dev=n_dev)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(), P()), check_vma=False,
+    )(rank, k)
 
 
 def suffix_array_sharded(data: bytes | np.ndarray, mesh: Mesh) -> np.ndarray:
@@ -180,4 +200,68 @@ def suffix_array_sharded(data: bytes | np.ndarray, mesh: Mesh) -> np.ndarray:
     padded[:n] = arr
     sharded = jax.device_put(padded, NamedSharding(mesh, P(AXIS)))
     sa_full = np.asarray(_dist_build_jit(sharded, n_local, n_dev, mesh))
+    return sa_full[n_total - n:].astype(np.uint32)
+
+
+def suffix_array_sharded_stepped(
+    data: bytes | np.ndarray,
+    mesh: Mesh,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
+) -> np.ndarray:
+    """Host-driven sharded build with checkpoint/resume between rounds.
+
+    The failure-recovery path (SURVEY.md §5): each doubling round is one
+    jitted SPMD step; after every round the (rank, sa, k) state can be
+    persisted, and a restarted process resumes from the last completed
+    round — deterministic, so the final SA is bit-identical to an
+    uninterrupted run. The reference has no equivalent (errors are
+    panics, src/table.rs:369-380).
+    """
+    arr = (
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    n = int(arr.shape[0])
+    if n == 0:
+        return np.empty((0,), dtype=np.uint32)
+    n_dev = mesh.devices.size
+    n_local = max(8, -(-n // n_dev))
+    n_total = n_local * n_dev
+    shard = NamedSharding(mesh, P(AXIS))
+
+    state = None
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        with np.load(checkpoint_path) as z:
+            if int(z["n_total"]) == n_total:
+                state = (
+                    jax.device_put(z["rank"], shard),
+                    jax.device_put(z["sa"], shard),
+                    int(z["k"]),
+                    bool(z["done"]),
+                )
+    if state is None:
+        padded = np.full((n_total,), PAD, dtype=np.int32)
+        padded[:n] = arr
+        rank0 = jax.device_put(padded + 1, shard)
+        state = (rank0, None, 0, False)
+
+    rank, sa, k, done = state
+    while not done and k < n_total:
+        rank, sa, next_k, done_arr = _dist_step_jit(
+            rank, jnp.int32(k), n_local, n_dev, mesh
+        )
+        done = bool(done_arr)
+        k = int(next_k)
+        if checkpoint_path:
+            np.savez(
+                checkpoint_path,
+                rank=np.asarray(rank),
+                sa=np.asarray(sa),
+                k=np.int64(k),
+                done=np.bool_(done),
+                n_total=np.int64(n_total),
+            )
+    sa_full = np.asarray(sa)
     return sa_full[n_total - n:].astype(np.uint32)

@@ -188,7 +188,7 @@ class SuffixTable:
         # Query accelerators: packed prefix keys + 2-symbol LUT.
         from suffix_tpu.ops import search2
 
-        self._pk, self._lut = search2.build_query_index(
+        self._pk, self._pk_block, self._lut = search2.build_query_index(
             self._dev_text, self._dev_table, jnp.int32(n)
         )
 
@@ -211,7 +211,7 @@ class SuffixTable:
 
         starts, counts = search2.bounds_batch_merge(
             self._dev_text, jnp.int32(len(self)), self._dev_table,
-            jnp.int32(len(self)), self._pk,
+            jnp.int32(len(self)), self._pk, self._pk_block,
             jnp.asarray(full_q), jnp.asarray(full_lens),
             self._n_iters, m_pad,
         )

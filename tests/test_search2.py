@@ -29,12 +29,13 @@ def both_engines(text: bytes, queries):
 
     v1 = s1.bounds_batch(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
                          q_dev, qlens_dev, n_iters)
-    pk, lut = s2.build_query_index(t_dev, tab_dev, jnp.int32(n))
+    pk, pk_block, lut = s2.build_query_index(t_dev, tab_dev, jnp.int32(n))
     v2 = s2.bounds_batch_fast(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
                               pk[0], pk[1], lut, q_dev, qlens_dev,
                               n_iters, q.shape[1])
     v3 = s2.bounds_batch_merge(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
-                               pk, q_dev, qlens_dev, n_iters, q.shape[1])
+                               pk, pk_block, q_dev, qlens_dev, n_iters,
+                               q.shape[1])
     v1 = tuple(np.asarray(x) for x in v1)
     v3 = tuple(np.asarray(x) for x in v3)
     assert np.array_equal(v1[1], v3[1]), (text, queries, v1[1], v3[1])
@@ -130,9 +131,10 @@ def test_merge_engine_agrees():
             q, qlens = s1_.pack_queries(queries)
             v1 = s1_.bounds_batch(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
                                   jnp.asarray(q), jnp.asarray(qlens), n_iters)
-            pk, _ = s2_.build_query_index(t_dev, tab_dev, jnp.int32(n))
+            pk, pk_block, _ = s2_.build_query_index(t_dev, tab_dev,
+                                                    jnp.int32(n))
             v3 = s2_.bounds_batch_merge(t_dev, jnp.int32(n), tab_dev,
-                                        jnp.int32(n), pk,
+                                        jnp.int32(n), pk, pk_block,
                                         jnp.asarray(q), jnp.asarray(qlens),
                                         n_iters, q.shape[1])
             s1a, c1 = (np.asarray(x) for x in v1)

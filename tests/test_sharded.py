@@ -70,3 +70,47 @@ def test_dna_sharded(dna_10k):
     assert np.array_equal(
         SuffixTable.new(dna_10k).table(), suffix_array_sharded(dna_10k, mesh)
     )
+
+
+def test_stepped_checkpoint_resume(tmp_path, rng):
+    """Failure recovery: interrupt after some rounds, resume, bit-exact."""
+    from suffix_tpu.parallel.dist_build import suffix_array_sharded_stepped
+
+    mesh = make_mesh(4)
+    data = rng.integers(0, 8, size=600, dtype=np.uint8).tobytes()
+    expected = SuffixTable.new(data).table()
+
+    ckpt = str(tmp_path / "build.npz")
+    # Uninterrupted stepped build matches.
+    got = suffix_array_sharded_stepped(data, mesh, checkpoint_path=ckpt)
+    assert np.array_equal(expected, got)
+
+    # Simulate a crash: rewind the checkpoint to an early round by
+    # rebuilding it partially (run with a tampered loop via resume of the
+    # saved state at round 1), then resume to completion.
+    import numpy as _np
+    from suffix_tpu.parallel import dist_build as db
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    n_dev = 4
+    n = len(data)
+    n_local = max(8, -(-n // n_dev))
+    n_total = n_local * n_dev
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shard = NamedSharding(mesh, P(db.AXIS))
+    padded = _np.full((n_total,), -1, _np.int32)
+    padded[:n] = _np.frombuffer(data, _np.uint8)
+    rank = _jax.device_put(padded + 1, shard)
+    # run exactly 2 rounds, save, then resume from the file
+    k = 0
+    for _ in range(2):
+        rank, sa, next_k, done = db._dist_step_jit(rank, _jnp.int32(k),
+                                                   n_local, n_dev, mesh)
+        k = int(next_k)
+    _np.savez(ckpt, rank=_np.asarray(rank), sa=_np.asarray(sa),
+              k=_np.int64(k), done=_np.bool_(False),
+              n_total=_np.int64(n_total))
+    resumed = suffix_array_sharded_stepped(data, mesh, checkpoint_path=ckpt,
+                                           resume=True)
+    assert np.array_equal(expected, resumed)
