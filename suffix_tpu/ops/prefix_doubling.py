@@ -76,11 +76,18 @@ def _suffix_array_padded(text: jax.Array) -> jax.Array:
     idx = jnp.arange(n, dtype=jnp.int32)
     neg = jnp.full((n,), -1, jnp.int32)
 
-    rank0 = _initial_rank(text)
-    # Initial round: order by the packed 3-byte key.
-    r_sorted, sa0 = jax.lax.sort((rank0, idx), num_keys=1)
+    # Initial round: order by SIX packed bytes (two 3-symbol words), so the
+    # quadrupling rounds start at h=6 (6 -> 24 -> 96 ...), saving a full
+    # round versus single-word initialization on typical texts.
+    w0 = _initial_rank(text)
+    w1 = jnp.concatenate([w0[3:], jnp.zeros((3,), jnp.int32)])
+    a_sorted, b_sorted, sa0 = jax.lax.sort((w0, w1, idx), num_keys=3)
     new_flag = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), (r_sorted[1:] != r_sorted[:-1]).astype(jnp.int32)]
+        [
+            jnp.zeros((1,), jnp.int32),
+            ((a_sorted[1:] != a_sorted[:-1])
+             | (b_sorted[1:] != b_sorted[:-1])).astype(jnp.int32),
+        ]
     )
     dense0 = jnp.cumsum(new_flag)
     rank = _invert_permutation(sa0, dense0)
@@ -91,27 +98,42 @@ def _suffix_array_padded(text: jax.Array) -> jax.Array:
         return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
 
     def body(state):
+        # Quadrupling round: with ranks ordering by the first k chars,
+        # the key (rank[i], rank[i+k], rank[i+2k], rank[i+3k]) orders by
+        # 4k chars — log4 rounds instead of log2, for ~1.4x the per-round
+        # sort cost (net win). Shifted ranks are contiguous slices of
+        # [rank | -1...] (clamped; shift >= n => all -1).
         rank, _, k, _ = state
-        # second[i] = rank[i + k] with -1 past the end: contiguous slice
-        # of [rank | -1...] at offset k (clamped; k > n => all -1).
         rank_ext = jnp.concatenate([rank, neg])
-        second = jax.lax.dynamic_slice(rank_ext, (k,), (n,))
-        # idx as a third key makes every round's output deterministic;
-        # ties in (rank, second) are still-equal prefixes whose relative
-        # order is irrelevant until a later round separates them.
-        r1, r2, sa = jax.lax.sort((rank, second, idx), num_keys=3)
+
+        def shifted(mult):
+            off = jnp.minimum(mult * k, n)
+            return jax.lax.dynamic_slice(rank_ext, (off,), (n,))
+
+        s1, s2, s3 = shifted(1), shifted(2), shifted(3)
+        # idx as a final key makes every round's output deterministic;
+        # ties are still-equal prefixes whose relative order is
+        # irrelevant until a later round separates them.
+        r1, r2, r3, r4, sa = jax.lax.sort(
+            (rank, s1, s2, s3, idx), num_keys=5
+        )
+        diff = (
+            (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+            | (r3[1:] != r3[:-1]) | (r4[1:] != r4[:-1])
+        )
         new_flag = jnp.concatenate(
-            [
-                jnp.zeros((1,), jnp.int32),
-                ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32),
-            ]
+            [jnp.zeros((1,), jnp.int32), diff.astype(jnp.int32)]
         )
         dense = jnp.cumsum(new_flag)
-        new_rank = _invert_permutation(sa, dense)
         done = dense[-1] == n - 1
-        return (new_rank, sa, k * 2, done)
+        # The route-home key-sort feeds the NEXT round only; skip it on
+        # the final round.
+        new_rank = jax.lax.cond(
+            done, lambda: rank, lambda: _invert_permutation(sa, dense)
+        )
+        return (new_rank, sa, k * 4, done)
 
-    _, sa, _, _ = jax.lax.while_loop(cond, body, (rank, sa0, jnp.int32(3), done0))
+    _, sa, _, _ = jax.lax.while_loop(cond, body, (rank, sa0, jnp.int32(6), done0))
     return sa
 
 

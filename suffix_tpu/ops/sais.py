@@ -255,3 +255,214 @@ def suffix_array_sais(data: bytes | np.ndarray) -> np.ndarray:
     lms_rank = _lms_class_rank_from_doubling(t)
     sa_full = np.asarray(_derive_sa(t, lms_rank))
     return sa_full[n_pad - n:].astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Genuine SA-IS recursion: LMS-substring sort -> naming -> reduced string
+# ---------------------------------------------------------------------------
+#
+# Pass-1 of the reference (src/table.rs:411-463) induced-sorts LMS
+# *substrings* and names them with a type-aware equality
+# (src/table.rs:802-820). Here the substrings are sorted directly by
+# prefix-tripling over 10-bit (char,type) symbols — (char+1)*2 + is_S, so
+# L < S at equal characters, substring end (0) below everything — which
+# reproduces the induced substring order without a sequential pass. Equal
+# names = equal (char,type) sequences of equal length, exactly
+# wstring_equal. If names repeat, the reduced string of names (text
+# order) is built and its suffix array gives the LMS sample order — the
+# reference's recursion (src/table.rs:496-506) as a device build.
+
+
+def _lms_substring_ranks(text: jax.Array, max_rounds: int = 2048):
+    """(rank, is_lms, num_names, w): dense substring rank per LMS position
+    (equal substrings share a rank), under the SA-IS substring order."""
+    n = text.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_s, is_lms = classify_types(text)
+    sym10 = ((text + 1) * 2 + jnp.where(is_s, 1, 0)).astype(jnp.int32)
+
+    # Inclusive substring end: next LMS position strictly after i (n if
+    # none) — reversed min-scan of planted LMS indices.
+    planted = jnp.where(is_lms, idx, n)
+    nxt_incl = jax.lax.associative_scan(jnp.minimum, planted[::-1])[::-1]
+    sub_end = jnp.concatenate([nxt_incl[1:], jnp.full((1,), n, jnp.int32)])
+
+    sym_ext = jnp.concatenate([sym10, jnp.zeros((n,), jnp.int32)])
+    end_ext = jnp.concatenate([sub_end, jnp.full((n,), -1, jnp.int32)])
+
+    def word_at(starts, off):
+        """Pack 3 substring symbols at offset ``off`` (0 past the end)."""
+        s_clip = jnp.minimum(starts, 2 * n - 1)
+        ends = jnp.take(end_ext, s_clip)
+        out = jnp.zeros((n,), jnp.int32)
+        for j in range(3):
+            pos = starts + off + j
+            v = jnp.take(sym_ext, jnp.minimum(pos, 2 * n - 1))
+            v = jnp.where(pos <= ends, v, 0)
+            out = (out << 10) | v
+        return out
+
+    INFK = jnp.int32(INF)
+    w_lms = jnp.sum(is_lms.astype(jnp.int32))
+
+    # Round 0: rank by the first 3 symbols.
+    key0 = jnp.where(is_lms, word_at(idx, 0), INFK)
+    k_s, order = jax.lax.sort((key0, idx), num_keys=1)
+    flag = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), (k_s[1:] != k_s[:-1]).astype(jnp.int32)]
+    )
+    dense = jnp.cumsum(flag)
+    rank = jnp.full((n,), INFK, jnp.int32).at[order].set(
+        jnp.where(k_s == INFK, INFK, dense)
+    )
+    # A group stays active while its members tie AND their substrings
+    # have not both ended (word != 0 at the next offset).
+    def cond(state):
+        _, active_any, _, rounds = state
+        return active_any & (rounds < max_rounds)
+
+    def body(state):
+        rank, _, off, rounds = state
+        word = jnp.where(is_lms, word_at(idx, off), 0)
+        r_s, w_s, order = jax.lax.sort(
+            (rank, word, idx), num_keys=3
+        )
+        tie = (r_s[1:] == r_s[:-1]) & (w_s[1:] == w_s[:-1])
+        flag = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.logical_not(tie).astype(jnp.int32)]
+        )
+        dense = jnp.cumsum(flag)
+        new_rank = jnp.full((n,), INFK, jnp.int32).at[order].set(
+            jnp.where(r_s == INFK, INFK, dense)
+        )
+        # Still-active ties: tied AND the word was non-zero (substring
+        # continues). Tied with word 0 == equal substrings, final.
+        still = tie & (w_s[1:] != 0) & (r_s[1:] != INFK)
+        return new_rank, jnp.any(still), off + 3, rounds + 1
+
+    rank, _, _, _ = jax.lax.while_loop(
+        cond, body, (rank, jnp.bool_(True), jnp.int32(3), jnp.int32(0))
+    )
+    # Dense 0-based names over LMS positions only.
+    lms_sorted = jnp.sort(jnp.where(is_lms, rank, INFK))
+    uniq_flag = jnp.concatenate(
+        [
+            (lms_sorted[:1] != INFK).astype(jnp.int32),
+            ((lms_sorted[1:] != lms_sorted[:-1])
+             & (lms_sorted[1:] != INFK)).astype(jnp.int32),
+        ]
+    )
+    num_names = jnp.sum(uniq_flag)
+    return rank, is_lms, num_names, w_lms
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _suffix_array_ints(vals: jax.Array) -> jax.Array:
+    """Suffix array of an int32 sequence (values >= 0; -1 = padding).
+
+    The recursion base: prefix-quadrupling over an arbitrary integer
+    alphabet (no byte packing).
+    """
+    n = vals.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    neg = jnp.full((n,), -1, jnp.int32)
+
+    r_sorted, sa0 = jax.lax.sort((vals, idx), num_keys=1)
+    flag = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         (r_sorted[1:] != r_sorted[:-1]).astype(jnp.int32)]
+    )
+    dense0 = jnp.cumsum(flag)
+    _, rank = jax.lax.sort((sa0, dense0), num_keys=1)
+    done0 = dense0[-1] == n - 1
+
+    def cond(state):
+        _, _, k, done = state
+        return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
+
+    def body(state):
+        rank, _, k, _ = state
+        rank_ext = jnp.concatenate([rank, neg])
+
+        def shifted(mult):
+            off = jnp.minimum(mult * k, n)
+            return jax.lax.dynamic_slice(rank_ext, (off,), (n,))
+
+        s1, s2, s3 = shifted(1), shifted(2), shifted(3)
+        r1, r2, r3, r4, sa = jax.lax.sort(
+            (rank, s1, s2, s3, idx), num_keys=5
+        )
+        diff = (
+            (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+            | (r3[1:] != r3[:-1]) | (r4[1:] != r4[:-1])
+        )
+        flag = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), diff.astype(jnp.int32)]
+        )
+        dense = jnp.cumsum(flag)
+        done = dense[-1] == n - 1
+        new_rank = jax.lax.cond(
+            done, lambda: rank,
+            lambda: jax.lax.sort((sa, dense), num_keys=1)[1],
+        )
+        return (new_rank, sa, k * 4, done)
+
+    _, sa, _, _ = jax.lax.while_loop(cond, body, (rank, sa0, jnp.int32(1), done0))
+    return sa
+
+
+@functools.partial(jax.jit, static_argnames=("w_pad",))
+def _lms_rank_via_reduction(text: jax.Array, w_pad: int) -> jax.Array:
+    """LMS class ranks via the genuine SA-IS reduction.
+
+    Sorts LMS substrings, names them, builds the reduced string of names
+    in text order (padded to ``w_pad``), suffix-sorts it with the integer
+    doubling base, and maps reduced ranks back to LMS positions.
+    """
+    n = text.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sub_rank, is_lms, num_names, w_lms = _lms_substring_ranks(text)
+
+    # Reduced string: names of LMS substrings in text order, compacted.
+    # Position of LMS i within the reduced string = its LMS ordinal.
+    lms_ord = jnp.cumsum(is_lms.astype(jnp.int32)) - is_lms.astype(jnp.int32)
+    reduced = jnp.full((w_pad,), -1, jnp.int32)
+    reduced = reduced.at[jnp.where(is_lms, lms_ord, w_pad)].set(
+        jnp.where(is_lms, sub_rank, 0), mode="drop"
+    )
+    sa_reduced = _suffix_array_ints(reduced)  # pads (-1) sort first
+
+    # Rank of each reduced suffix; pads occupy the first (w_pad - w) slots.
+    pad_count = w_pad - w_lms
+    red_rank = jnp.zeros((w_pad,), jnp.int32).at[sa_reduced].set(
+        jnp.arange(w_pad, dtype=jnp.int32) - pad_count
+    )
+    # Map back: LMS position i (ordinal j) gets class rank red_rank[j].
+    lms_class_rank = jnp.where(
+        is_lms,
+        jnp.take(red_rank, jnp.minimum(lms_ord, w_pad - 1)),
+        0,
+    )
+    return lms_class_rank
+
+
+def suffix_array_sais_recursive(data: bytes | np.ndarray) -> np.ndarray:
+    """Suffix array via the full SA-IS pipeline with genuine reduction
+    (substring sort -> naming -> reduced-string suffix sort -> stratified
+    induced derivation). uint32 offsets."""
+    arr = (
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    n = int(arr.shape[0])
+    if n == 0:
+        return np.empty((0,), dtype=np.uint32)
+    n_pad = bucket_size(n)
+    padded = np.full((n_pad,), PAD, dtype=np.int32)
+    padded[:n] = arr
+    t = jnp.asarray(padded)
+    w_pad = bucket_size(max(n_pad // 2, 8))
+    lms_rank = _lms_rank_via_reduction(t, w_pad)
+    sa_full = np.asarray(_derive_sa(t, lms_rank))
+    return sa_full[n_pad - n:].astype(np.uint32)

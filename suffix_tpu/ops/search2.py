@@ -43,8 +43,8 @@ from suffix_tpu.ops.search import _cmp_suffix_query
 
 SYM_BITS = 9
 SYMS_PER_WORD = 3
-KEY_WORDS = 4
-KEY_SYMS = KEY_WORDS * SYMS_PER_WORD  # 12
+KEY_WORDS = 6
+KEY_SYMS = KEY_WORDS * SYMS_PER_WORD  # 18
 LUT_SIDE = 257  # symbol alphabet: 0 (end) + 256 byte values
 WORD_MASK = (1 << (SYM_BITS * SYMS_PER_WORD)) - 1  # 27 bits
 PAD_KEY = 0x7FFFFFFF  # above every real key word
@@ -65,8 +65,8 @@ def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array):
     # Symbols: byte+1 in [1,256]; PAD (-1) and the appended zeros both map
     # to 0 — the end-of-text sentinel.
     sym = (text + 1).astype(jnp.int32)
-    zero = jnp.zeros((KEY_SYMS - 1,), jnp.int32)
-    s = [jnp.concatenate([sym[k:], zero[:k]]) for k in range(KEY_SYMS)]
+    sym_ext = jnp.concatenate([sym, jnp.zeros((KEY_SYMS,), jnp.int32)])
+    s = [sym_ext[k:k + n_pad] for k in range(KEY_SYMS)]
     mask_real = jnp.arange(n_pad) < n_table
     pk = []
     for w in range(KEY_WORDS):

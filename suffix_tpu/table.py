@@ -92,7 +92,7 @@ class SuffixTable:
         elif engine == "sais":
             from suffix_tpu.ops import sais
 
-            table = sais.suffix_array_sais(raw)
+            table = sais.suffix_array_sais_recursive(raw)
         elif engine == "native":
             from suffix_tpu import native
 

@@ -108,3 +108,54 @@ def test_descending_chain():
     # Maximal strictly-descending chains stress the round bound.
     b = bytes(range(255, -1, -1)) * 2
     assert np.array_equal(sais.suffix_array_sais(b), naive_table(b))
+
+
+# ---- genuine recursion path ----
+
+from suffix_tpu.ops.sais import suffix_array_sais_recursive
+
+TRICKY = [
+    b"mmiissiissiippii",   # classic SA-IS exercise string
+    b"baabaabac",
+    b"abaabababbabbb",
+    b"cabbage",
+    b"aacaacaab",
+    b"abab",
+    b"abaaba",              # LMS-substring prefix cases
+    b"yabbadabbado",
+    b"aaabbbcccdddaaa",
+    b"zzyzxzyzyx",
+]
+
+
+@pytest.mark.parametrize("text", TRICKY, ids=lambda b: repr(b)[:16])
+def test_sais_recursive_tricky(text):
+    assert np.array_equal(suffix_array_sais_recursive(text),
+                          naive_table(text)), text
+
+
+@pytest.mark.parametrize("text", DIRECTED, ids=lambda b: repr(b)[:16])
+def test_sais_recursive_directed(text):
+    assert np.array_equal(suffix_array_sais_recursive(text),
+                          naive_table(text))
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.binary(min_size=1, max_size=96))
+def test_prop_sais_recursive(b):
+    assert np.array_equal(suffix_array_sais_recursive(b), naive_table(b))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(alphabet="ab", min_size=1, max_size=72))
+def test_prop_sais_recursive_binary_alpha(s):
+    # Binary alphabets maximize LMS-substring prefix/tie cases.
+    b = s.encode()
+    assert np.array_equal(suffix_array_sais_recursive(b), naive_table(b))
+
+
+def test_sais_recursive_dna(dna_10k):
+    assert np.array_equal(
+        suffix_array_sais_recursive(dna_10k),
+        SuffixTable.new(dna_10k).table(),
+    )
