@@ -92,6 +92,17 @@ def main() -> None:
     detail["queries_per_s_batched"] = round(qps, 0)
     detail["query_vs_baseline"] = round(qps / (1e9 / BASELINE_QUERY_NS), 3)
 
+    # --- LCP on the 4 MiB index (keyed + chunked refinement) -------------
+    from suffix_tpu.ops.lcp import _lcp_keyed
+
+    sync(_lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n), tuple(pk)))
+    dt_l = _median_time(
+        lambda: sync(_lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n),
+                                tuple(pk)))
+    )
+    detail["lcp_4MiB_s"] = round(dt_l, 4)
+    detail["lcp_4MiB_MBps"] = round(n / dt_l / 1e6, 1)
+
     print(json.dumps({
         "metric": "sa_construction_throughput_4MiB_dna",
         "value": round(mbps, 2),

@@ -66,7 +66,101 @@ def _lcp_padded(text: jax.Array, n_text: jax.Array, table: jax.Array,
     return jnp.where(active0 | (idx == 0), lcp, 0)
 
 
-def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128) -> np.ndarray:
+@functools.partial(jax.jit, static_argnames=("block",))
+def _lcp_keyed(text: jax.Array, n_text: jax.Array, table: jax.Array,
+               n_table: jax.Array, pk: tuple, block: int = 128) -> jax.Array:
+    """LCP via the packed rank-order prefix keys.
+
+    Lexicographically adjacent suffixes sit in adjacent slots of the
+    packed key arrays, so the first KEY_SYMS bytes of every pair compare
+    with pure contiguous vector ops — no gathers. Only pairs sharing all
+    KEY_SYMS leading bytes (rare outside pathological texts) fall back to
+    the windowed compare, with the while_loop exiting once they resolve.
+    """
+    from suffix_tpu.ops import search2
+
+    n_pad = table.shape[0]
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    valid = (idx > 0) & (idx < n_table)
+
+    lcp = jnp.zeros((n_pad,), jnp.int32)
+    undecided = valid
+    for w, word in enumerate(pk):
+        prev = jnp.concatenate([word[:1], word[:-1]])
+        eq_word = word == prev
+        # First differing symbol within this word (words pack 3 symbols
+        # of 9 bits, most-significant first).
+        s_cur = [(word >> (18 - 9 * j)) & 0x1FF for j in range(3)]
+        s_prv = [(prev >> (18 - 9 * j)) & 0x1FF for j in range(3)]
+        within = jnp.where(
+            s_cur[0] != s_prv[0], 0, jnp.where(s_cur[1] != s_prv[1], 1, 2)
+        )
+        # A symbol pair (0,0) means both suffixes ended: contributes no
+        # extra matched bytes; symbol equality over real bytes extends lcp.
+        matched = jnp.where(eq_word, 3, within)
+        # Count only real matched bytes (symbol 0 = past end: if the
+        # mismatch position has a 0 on either side, matching stopped at
+        # the end anyway and 'within' already counts the equal prefix).
+        lcp = jnp.where(undecided, lcp + matched, lcp)
+        undecided = undecided & eq_word
+    # Pairs equal through all KEY_SYMS symbols truly share KEY_SYMS real
+    # bytes (a 0 end-symbol on one side would mismatch the other's real
+    # byte). Such survivors are rare on real text, so compact them to the
+    # front (one key-sort) and refine in fixed chunks — a chunk whose
+    # lanes are all resolved skips its loop body entirely, so the
+    # windowed gathers only ever run over chunks that contain survivors.
+    a = table
+    prev_t = jnp.concatenate([table[:1], table[:-1]])
+    offs = jnp.arange(block, dtype=jnp.int32)
+
+    not_surv = jnp.where(undecided, 0, 1).astype(jnp.int32)
+    _, p_a, p_prev, p_lcp, p_active, perm = jax.lax.sort(
+        (not_surv, a, prev_t, lcp, undecided.astype(jnp.int32), idx),
+        num_keys=1,
+    )
+
+    cap = min(n_pad, 8192)
+    n_chunks = n_pad // cap
+
+    def gather_rows(base, off):
+        pos = base[:, None] + off[None, :]
+        w = jnp.take(text, pos, mode="fill", fill_value=PAD)
+        return jnp.where(pos < n_text, w, PAD)
+
+    def chunk_step(c, lcp_perm):
+        start = c * cap
+        ca = jax.lax.dynamic_slice(p_a, (start,), (cap,))
+        cp = jax.lax.dynamic_slice(p_prev, (start,), (cap,))
+        cl = jax.lax.dynamic_slice(lcp_perm, (start,), (cap,))
+        cact = jax.lax.dynamic_slice(p_active, (start,), (cap,)) == 1
+
+        def cond(state):
+            _, active, _ = state
+            return jnp.any(active)
+
+        def body(state):
+            l, active, off = state
+            wa = gather_rows(cp.astype(jnp.int32), offs + off)
+            wb = gather_rows(ca.astype(jnp.int32), offs + off)
+            eq = wa == wb
+            run = jnp.cumprod(eq.astype(jnp.int32), axis=1).sum(axis=1)
+            l = jnp.where(active, l + run, l)
+            active = active & (run == block)
+            return l, active, off + block
+
+        cl, _, _ = jax.lax.while_loop(
+            cond, body, (cl, cact, jnp.int32(search2.KEY_SYMS))
+        )
+        return jax.lax.dynamic_update_slice(lcp_perm, cl, (start,))
+
+    lcp_perm = jax.lax.fori_loop(0, n_chunks, chunk_step, p_lcp)
+    # Un-permute: key-sort by the original index.
+    _, lcp = jax.lax.sort((perm, lcp_perm), num_keys=1)
+    return jnp.where(valid | (idx == 0), lcp, 0)
+
+
+def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
+                pk: tuple | None = None) -> np.ndarray:
     """Host wrapper: LCP array (uint32) from text bytes and its SA."""
     from suffix_tpu.ops.padding import bucket_size
 
@@ -79,8 +173,14 @@ def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128) -> np.
     t_pad[:n] = t_np
     sa_pad = np.zeros((n_pad,), dtype=np.int32)
     sa_pad[:n] = sa
-    out = _lcp_padded(jnp.asarray(t_pad), jnp.int32(n), jnp.asarray(sa_pad),
-                      jnp.int32(n), block=block)
+    t_dev = jnp.asarray(t_pad)
+    tab_dev = jnp.asarray(sa_pad)
+    if pk is None:
+        from suffix_tpu.ops import search2
+
+        pk, _, _ = search2.build_query_index(t_dev, tab_dev, jnp.int32(n))
+    out = _lcp_keyed(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
+                     tuple(pk), block=block)
     return np.asarray(out)[:n].astype(np.uint32)
 
 

@@ -162,7 +162,9 @@ class SuffixTable:
         All produce the identical array.
         """
         if method == "device":
-            return lcp_ops.lcp_from_sa(self._bytes, self._table)
+            # Reuse the query index's packed keys when already built.
+            pk = self._pk if self._dev_text is not None else None
+            return lcp_ops.lcp_from_sa(self._bytes, self._table, pk=pk)
         if method == "native":
             from suffix_tpu import native
 
