@@ -74,6 +74,20 @@ def main() -> None:
     detail["construct_100KB_fixture_s"] = round(dt_fix, 4)
     detail["construct_100KB_fixture_MBps"] = round(len(fixture) / dt_fix / 1e6, 2)
 
+    # --- repeated-fixture corpus (the reference's own scaling test) ------
+    # NOTES.md: the reference took 212.7 s for the 10 MB repeated FASTA
+    # (0.047 MB/s). Same shape class as the 4 MiB build -> no new compile.
+    rep = np.frombuffer((fixture * 45)[: 1 << 22], np.uint8).astype(np.int32)
+    t_rep = jnp.asarray(rep)
+    sync(t_rep)
+    sync(_suffix_array_padded(t_rep))
+    dt_rep = _median_time(lambda: sync(_suffix_array_padded(t_rep)))
+    detail["construct_4MiB_repeated_s"] = round(dt_rep, 4)
+    detail["construct_4MiB_repeated_MBps"] = round((1 << 22) / dt_rep / 1e6, 2)
+    detail["repeated_vs_reference_10MB_wallclock"] = round(
+        ((1 << 22) / dt_rep) / (10_000_000 / 212.7), 1
+    )
+
     # --- batched queries on the 4 MiB index (merge-join engine) ----------
     sa_dev = jnp.asarray(np.asarray(sa).astype(np.int32))
     pk, pk_block, _lut = search_ops.build_query_index(t_dev, sa_dev, jnp.int32(n))
@@ -89,8 +103,31 @@ def main() -> None:
     sync(search_ops.bounds_batch_merge(*args))  # compile
     dt_q = _median_time(lambda: sync(search_ops.bounds_batch_merge(*args)))
     qps = n_q / dt_q
-    detail["queries_per_s_batched"] = round(qps, 0)
-    detail["query_vs_baseline"] = round(qps / (1e9 / BASELINE_QUERY_NS), 3)
+    detail["queries_per_s_4MiB_index"] = round(qps, 0)
+
+    # --- apples-to-apples query bench: the reference's own setting ------
+    # search_suffix_exists_many (tests/bench.rs:117-124) runs positions()
+    # with a 14-char matching pattern on the 100 KB DNA index (228 ns =>
+    # 4.39M queries/s hot-cache, single query at a time).
+    n_fix_real = len(fixture)
+    sa_fix = _suffix_array_padded(t_fix)
+    sync(sa_fix)
+    tab_fix = sa_fix.astype(jnp.int32)
+    pk_f, pkb_f, _ = search_ops.build_query_index(
+        t_fix, tab_fix, jnp.int32(n_fix_real))
+    sync(pk_f)
+    fix_np = np.frombuffer(fixture, np.uint8).astype(np.int32)
+    starts_f = rng.integers(0, n_fix_real - qlen, size=n_q)
+    queries_f = np.stack([fix_np[s : s + qlen] for s in starts_f])
+    n_iters_f = (n_fix + 1).bit_length()
+    args_f = (t_fix, jnp.int32(n_fix_real), tab_fix, jnp.int32(n_fix_real),
+              pk_f, pkb_f, jnp.asarray(queries_f), jnp.asarray(qlens),
+              n_iters_f, qlen)
+    sync(search_ops.bounds_batch_merge(*args_f))
+    dt_qf = _median_time(lambda: sync(search_ops.bounds_batch_merge(*args_f)))
+    qps_fix = n_q / dt_qf
+    detail["queries_per_s_100KB_index"] = round(qps_fix, 0)
+    detail["query_vs_baseline"] = round(qps_fix / (1e9 / BASELINE_QUERY_NS), 3)
 
     # --- LCP on the 4 MiB index (keyed + chunked refinement) -------------
     from suffix_tpu.ops.lcp import _lcp_keyed

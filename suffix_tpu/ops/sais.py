@@ -65,9 +65,12 @@ def classify_types(text: jax.Array):
 
 def bucket_layout(text: jax.Array):
     """(counts, heads, tails) per symbol — the device Bins
-    (src/table.rs:686-720): histogram + exclusive/inclusive scans."""
+    (src/table.rs:686-720): histogram (Pallas on TPU) +
+    exclusive/inclusive scans."""
+    from suffix_tpu.ops.pallas_kernels import byte_histogram
+
     sym = (text + 1).astype(jnp.int32)
-    counts = jnp.zeros((N_SYM,), jnp.int32).at[sym].add(1)
+    counts = byte_histogram(sym, N_SYM)
     tails = jnp.cumsum(counts)
     heads = tails - counts
     return counts, heads, tails
@@ -186,9 +189,9 @@ def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
     # L-suffix (absolute rank final) or an S-suffix of a larger bucket.
     # Absolute ranks are comparable directly (L-parts precede S-parts and
     # bucket layout is global), so the γ-key is one word.
-    s_count = jnp.zeros((N_SYM,), jnp.int32).at[sym].add(
-        jnp.where(is_s, 1, 0)
-    )
+    from suffix_tpu.ops.pallas_kernels import byte_histogram
+
+    s_count = byte_histogram(jnp.where(is_s, sym, -1), N_SYM)
     s_part_start = tails - s_count
     s_seg_key = jnp.where(is_s, sym, jnp.int32(N_SYM))
 

@@ -114,3 +114,19 @@ def test_stepped_checkpoint_resume(tmp_path, rng):
     resumed = suffix_array_sharded_stepped(data, mesh, checkpoint_path=ckpt,
                                            resume=True)
     assert np.array_equal(expected, resumed)
+
+
+def test_collective_bins(rng):
+    """psum bucket histogram == single-process Bins values."""
+    import jax.numpy as jnp
+    from suffix_tpu.ops.sais import bucket_layout
+    from suffix_tpu.parallel.collective_bins import global_bucket_layout
+
+    mesh = make_mesh(8)
+    data = rng.integers(0, 256, size=1024, dtype=np.uint8)
+    text = data.astype(np.int32)
+    c, h, t = global_bucket_layout(text, mesh)
+    c1, h1, t1 = bucket_layout(jnp.asarray(text))
+    assert np.array_equal(c, np.asarray(c1))
+    assert np.array_equal(h, np.asarray(h1))
+    assert np.array_equal(t, np.asarray(t1))
