@@ -25,12 +25,29 @@ BASELINE_QUERY_NS = 228  # search_suffix_exists_many, README.md:89
 
 
 def _median_time(fn, n_iter=3):
+    """Single-call latency including host sync (tunnel round trip)."""
     times = []
     for _ in range(n_iter):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
+
+
+def _throughput_time(dispatch, sync, n_iter=8):
+    """Amortized per-call device time: back-to-back dispatches, one sync.
+
+    TPUs execute queued programs in order, so syncing the last result
+    bounds all of them; this removes the per-call host/tunnel round trip
+    that _median_time includes.
+    """
+    sync(dispatch())  # warm
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(n_iter):
+        r = dispatch()
+    sync(r)
+    return (time.perf_counter() - t0) / n_iter
 
 
 def main() -> None:
@@ -58,10 +75,12 @@ def main() -> None:
     sync(t_dev)
     sa = _suffix_array_padded(t_dev)
     sync(sa)  # compile + first run
-    dt = _median_time(lambda: sync(_suffix_array_padded(t_dev)))
+    dt = _throughput_time(lambda: _suffix_array_padded(t_dev), sync)
     mbps = n / dt / 1e6
     detail["construct_4MiB_dna_s"] = round(dt, 4)
     detail["construct_4MiB_dna_MBps"] = round(mbps, 2)
+    detail["construct_4MiB_latency_s"] = round(
+        _median_time(lambda: sync(_suffix_array_padded(t_dev))), 4)
 
     # --- 100 KB fixture (direct comparison point) ------------------------
     n_fix = bucket_size(len(fixture))
@@ -70,7 +89,7 @@ def main() -> None:
     t_fix = jnp.asarray(pad)
     sync(t_fix)
     sync(_suffix_array_padded(t_fix))
-    dt_fix = _median_time(lambda: sync(_suffix_array_padded(t_fix)))
+    dt_fix = _throughput_time(lambda: _suffix_array_padded(t_fix), sync)
     detail["construct_100KB_fixture_s"] = round(dt_fix, 4)
     detail["construct_100KB_fixture_MBps"] = round(len(fixture) / dt_fix / 1e6, 2)
 
@@ -81,7 +100,7 @@ def main() -> None:
     t_rep = jnp.asarray(rep)
     sync(t_rep)
     sync(_suffix_array_padded(t_rep))
-    dt_rep = _median_time(lambda: sync(_suffix_array_padded(t_rep)))
+    dt_rep = _throughput_time(lambda: _suffix_array_padded(t_rep), sync)
     detail["construct_4MiB_repeated_s"] = round(dt_rep, 4)
     detail["construct_4MiB_repeated_MBps"] = round((1 << 22) / dt_rep / 1e6, 2)
     detail["repeated_vs_reference_10MB_wallclock"] = round(
@@ -101,7 +120,7 @@ def main() -> None:
     args = (t_dev, jnp.int32(n), sa_dev, jnp.int32(n), pk, pk_block,
             jnp.asarray(queries), jnp.asarray(qlens), n_iters, qlen)
     sync(search_ops.bounds_batch_merge(*args))  # compile
-    dt_q = _median_time(lambda: sync(search_ops.bounds_batch_merge(*args)))
+    dt_q = _throughput_time(lambda: search_ops.bounds_batch_merge(*args), sync)
     qps = n_q / dt_q
     detail["queries_per_s_4MiB_index"] = round(qps, 0)
 
@@ -124,7 +143,9 @@ def main() -> None:
               pk_f, pkb_f, jnp.asarray(queries_f), jnp.asarray(qlens),
               n_iters_f, qlen)
     sync(search_ops.bounds_batch_merge(*args_f))
-    dt_qf = _median_time(lambda: sync(search_ops.bounds_batch_merge(*args_f)))
+    dt_qf = _throughput_time(lambda: search_ops.bounds_batch_merge(*args_f), sync)
+    detail["query_batch_latency_s"] = round(
+        _median_time(lambda: sync(search_ops.bounds_batch_merge(*args_f))), 4)
     qps_fix = n_q / dt_qf
     detail["queries_per_s_100KB_index"] = round(qps_fix, 0)
     detail["query_vs_baseline"] = round(qps_fix / (1e9 / BASELINE_QUERY_NS), 3)
@@ -133,10 +154,9 @@ def main() -> None:
     from suffix_tpu.ops.lcp import _lcp_keyed
 
     sync(_lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n), tuple(pk)))
-    dt_l = _median_time(
-        lambda: sync(_lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n),
-                                tuple(pk)))
-    )
+    dt_l = _throughput_time(
+        lambda: _lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n),
+                           tuple(pk)), sync)
     detail["lcp_4MiB_s"] = round(dt_l, 4)
     detail["lcp_4MiB_MBps"] = round(n / dt_l / 1e6, 1)
 
