@@ -123,3 +123,36 @@ def test_anatomy_debug_dump():
     assert "SUFFIX TABLE" in r
     assert "text: the quick brown fox was quick." in r
     assert f"suffix[0] {int(st_.table()[0])}," in r
+
+
+def test_unicode_mixed_script_corpus(rng):
+    """BASELINE config: mixed-script UTF-8 corpus, byte-index semantics.
+
+    Codepoint-aware indexing == byte indexing over UTF-8 (self-
+    synchronizing; reference contract src/table.rs:66 + unicode_snowman).
+    """
+    pools = [
+        "the quick brown fox ",
+        "αβγδεζηθικλμνξο ",
+        "суффиксный массив ",
+        "接尾辞配列 ",
+        "🌲🌳🌴",
+        "ação café naïve ",
+    ]
+    parts = [pools[i] for i in rng.integers(0, len(pools), size=4000)]
+    corpus = "".join(parts)  # ~100-300 KB of mixed-width UTF-8
+    st = SuffixTable.new(corpus)
+    raw = corpus.encode("utf-8")
+    assert st.len() == len(raw)
+
+    queries = ["fox", "αβγ", "суффикс", "接尾辞", "🌳", "café", "zzzz", "ξο α"]
+    for q, hits in zip(queries, st.positions_batch(queries)):
+        qb = q.encode("utf-8")
+        expected, i = [], raw.find(qb)
+        while i != -1:
+            expected.append(i)
+            i = raw.find(qb, i + 1)
+        assert sorted(hits.tolist()) == expected, q
+        # every hit is a codepoint boundary (UTF-8 self-synchronization)
+        for h in hits.tolist():
+            assert (raw[h] & 0xC0) != 0x80
