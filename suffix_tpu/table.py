@@ -194,14 +194,24 @@ class SuffixTable:
             self._dev_text, self._dev_table, jnp.int32(n)
         )
 
+    MAX_QUERY_BATCH = 1 << 16  # queries per device dispatch
+
     def _bounds_batch(self, queries: Sequence) -> tuple[np.ndarray, np.ndarray]:
         """Vector of (start, count) rank bounds for a query batch.
 
         Query length and batch size are bucketed to powers of two so the
-        compiled executable is reused across calls (XLA compiles per shape).
+        compiled executable is reused across calls (XLA compiles per
+        shape); batches beyond MAX_QUERY_BATCH stream through in chunks.
         """
         self._ensure_device()
         nq = len(queries)
+        if nq > self.MAX_QUERY_BATCH:
+            starts, counts = [], []
+            for i in range(0, nq, self.MAX_QUERY_BATCH):
+                s, c = self._bounds_batch(queries[i:i + self.MAX_QUERY_BATCH])
+                starts.append(s)
+                counts.append(c)
+            return np.concatenate(starts), np.concatenate(counts)
         q, qlens = search_ops.pack_queries(queries)
         m_pad = bucket_size(q.shape[1], minimum=8)
         q_pad = bucket_size(nq, minimum=8)

@@ -186,3 +186,13 @@ def test_dna_queries(dna_10k):
     res = sa.positions_batch(probes)
     for q, got in zip(probes, res):
         assert sorted(got.tolist()) == _py_match_indices(dna_10k, q)
+
+
+def test_giant_batch_chunks(monkeypatch):
+    st_ = sais("the quick brown fox was quick.")
+    monkeypatch.setattr(type(st_), "MAX_QUERY_BATCH", 8)
+    queries = (["quick", "fox", "zzz", ""] * 7)[:25]  # 25 > 3 chunks of 8
+    res = st_.positions_batch(queries)
+    assert len(res) == 25
+    for q, got in zip(queries, res):
+        assert sorted(got.tolist()) == sorted(st_.positions(q).tolist())
