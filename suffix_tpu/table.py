@@ -73,7 +73,8 @@ class SuffixTable:
     # ----------------------------------------------------------------- build
 
     @classmethod
-    def new(cls, text, engine: str = "device") -> "SuffixTable":
+    def new(cls, text, engine: str = "device",
+            padding: str = "pow2") -> "SuffixTable":
         """Build the suffix table (reference: src/table.rs:78-85).
 
         Engines (all produce the identical, unique suffix array):
@@ -88,7 +89,7 @@ class SuffixTable:
         if len(raw) > MAX_TEXT_LEN:
             raise ValueError("text is too large (max 2^32 - 1 bytes)")
         if engine == "device":
-            table = prefix_doubling.suffix_array_bytes(raw)
+            table = prefix_doubling.suffix_array_bytes(raw, padding=padding)
         elif engine == "sais":
             from suffix_tpu.ops import sais
 

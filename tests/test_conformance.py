@@ -156,3 +156,12 @@ def test_unicode_mixed_script_corpus(rng):
         # every hit is a codepoint boundary (UTF-8 self-synchronization)
         for h in hits.tolist():
             assert (raw[h] & 0xC0) != 0x80
+
+
+def test_fine_padding_bit_exact(rng):
+    # "fine" padding (<=12.5% overhead) must not change the output.
+    for size in [17, 1000, 5000, 9001]:
+        data = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+        a = SuffixTable.new(data).table()
+        b = SuffixTable.new(data, padding="fine").table()
+        assert np.array_equal(a, b)
