@@ -17,10 +17,11 @@ scale-out architecture. The text is sharded along the sequence axis over a
   reference's bucket machinery (src/table.rs:686-720);
 - ranks are routed back to their home shard by a second block-bitonic sort
   keyed on the suffix index (a global permutation → identity layout);
-- the doubling shift ``rank[i + k]`` is fetched from an all-gathered rank
-  vector (dynamic window slice). This replicates one int32 vector per
-  round — the simple/robust choice; a halo ``ppermute`` fetch is the
-  planned optimization for corpora that exceed replicated-vector HBM.
+- the doubling shift ``rank[i + k]`` is fetched with a halo ``ppermute``:
+  the needed window spans two device blocks, reached by a binary-
+  decomposed block shift (log2(D) neighbor exchanges) — per-device memory
+  stays O(L) and comm O(L log D), so corpus size scales with *total* mesh
+  HBM rather than per-device HBM.
 
 The result is bit-identical to the single-device engine (and therefore to
 the reference): the suffix array is the unique byte-lexicographic
@@ -90,6 +91,43 @@ def _left_boundary(x: jax.Array, n_dev: int, fill) -> jax.Array:
     return jnp.concatenate([incoming, x[:-1]])
 
 
+def _halo_fetch(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
+    """second[i] = rank_global[gidx[i] + k], -1 past the global end.
+
+    The window [gidx + k, gidx + k + L) spans at most two device blocks,
+    s = k // L and s + 1 to the right. Because ``k`` is a traced value
+    (it lives inside the doubling while_loop) the block shift cannot be a
+    single static ``ppermute``; instead the shift is applied bit by bit —
+    log2(D) unconditional neighbor ``ppermute``s, each kept or discarded by
+    the matching bit of ``s``. Per-device comm is O(L log D) and memory is
+    O(L), replacing the earlier all_gather'd replicated rank vector
+    (O(n) per device) that capped corpus size at replicated-HBM.
+    """
+    if n_dev == 1:
+        rank_ext = jnp.concatenate(
+            [rank_home, jnp.full((n_local,), -1, jnp.int32)]
+        )
+        start = jnp.minimum(k, n_local)
+        return jax.lax.dynamic_slice(rank_ext, (start,), (n_local,))
+    me = jax.lax.axis_index(AXIS)
+    s = k // n_local  # block shift; < n_dev because callers keep k < n
+    off = k - s * n_local
+    x = rank_home
+    bit = 1
+    while bit < n_dev:
+        perm = [(j, j - bit) for j in range(bit, n_dev)]
+        moved = jax.lax.ppermute(x, AXIS, perm)
+        x = jnp.where((s & bit) != 0, moved, x)
+        bit *= 2
+    # One more static shift for the s+1 block; mask blocks past the end
+    # (ppermute fills absent edges with zeros, a valid rank value).
+    perm1 = [(j, j - 1) for j in range(1, n_dev)]
+    x1 = jax.lax.ppermute(x, AXIS, perm1)
+    x = jnp.where(me + s < n_dev, x, -1)
+    x1 = jnp.where(me + s + 1 < n_dev, x1, -1)
+    return jax.lax.dynamic_slice(jnp.concatenate([x, x1]), (off,), (n_local,))
+
+
 def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
     """One doubling round, per-device view (under shard_map).
 
@@ -101,13 +139,7 @@ def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
     lidx = jnp.arange(n_local, dtype=jnp.int32)
     gidx = (me * n_local + lidx).astype(jnp.int32)
 
-    # second[i] = rank[i + k] with -1 past the end: all_gather + window.
-    rank_full = jax.lax.all_gather(rank_home, AXIS, tiled=True)
-    rank_ext = jnp.concatenate(
-        [rank_full, jnp.full((n_total,), -1, jnp.int32)]
-    )
-    start = me * n_local + jnp.minimum(k, n_total)
-    second = jax.lax.dynamic_slice(rank_ext, (start,), (n_local,))
+    second = _halo_fetch(rank_home, k, n_local, n_dev)
 
     r, s2, idx = _bitonic_global_sort(
         [rank_home, second, gidx], num_keys=3, n_local=n_local, n_dev=n_dev
