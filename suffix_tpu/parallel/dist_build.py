@@ -128,8 +128,31 @@ def _halo_fetch(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
     return jax.lax.dynamic_slice(jnp.concatenate([x, x1]), (off,), (n_local,))
 
 
+def _packed_initial_rank(text_local: jax.Array, n_dev: int) -> jax.Array:
+    """Per-device packed 3-byte starting keys (order == first-3-char order).
+
+    The first round's rank input need not be dense — any order-isomorphic
+    key works, and the round densifies it. The 2-symbol halo comes from the
+    right neighbor (sentinel 0 past the global end)."""
+    sym = (text_local + 1).astype(jnp.int32)  # PAD -> 0, bytes -> 1..256
+    if n_dev == 1:
+        halo = jnp.zeros((2,), jnp.int32)
+    else:
+        perm = [(j, j - 1) for j in range(1, n_dev)]
+        halo = jax.lax.ppermute(sym[:2], AXIS, perm)
+        me = jax.lax.axis_index(AXIS)
+        halo = jnp.where(me == n_dev - 1, jnp.zeros((2,), jnp.int32), halo)
+    ext = jnp.concatenate([sym, halo])
+    return (ext[:-2] << 18) | (ext[1:-1] << 9) | ext[2:]
+
+
 def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
-    """One doubling round, per-device view (under shard_map).
+    """One quadrupling round, per-device view (under shard_map).
+
+    With ``rank`` ordering suffixes by their first k characters, sorting by
+    (rank[i], rank[i+k], rank[i+2k], rank[i+3k]) orders by 4k — log4 rounds
+    of the bitonic network instead of log2, for ~1.5x the per-stage operand
+    cost (same trade as the single-chip engine, ops/prefix_doubling.py).
 
     Returns (rank_new, sa_sorted, next_k, done); sa_sorted is the current
     global order in sorted layout (device d holds ranks [d*L, (d+1)*L)).
@@ -139,16 +162,21 @@ def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
     lidx = jnp.arange(n_local, dtype=jnp.int32)
     gidx = (me * n_local + lidx).astype(jnp.int32)
 
-    second = _halo_fetch(rank_home, k, n_local, n_dev)
+    s1 = _halo_fetch(rank_home, k, n_local, n_dev)
+    s2 = _halo_fetch(rank_home, 2 * k, n_local, n_dev)
+    s3 = _halo_fetch(rank_home, 3 * k, n_local, n_dev)
 
-    r, s2, idx = _bitonic_global_sort(
-        [rank_home, second, gidx], num_keys=3, n_local=n_local, n_dev=n_dev
+    r, c1, c2, c3, idx = _bitonic_global_sort(
+        [rank_home, s1, s2, s3, gidx], num_keys=5,
+        n_local=n_local, n_dev=n_dev,
     )
 
     # Dense re-rank in sorted order.
-    r_prev = _left_boundary(r, n_dev, fill=-2)
-    s_prev = _left_boundary(s2, n_dev, fill=-2)
-    flag = ((r != r_prev) | (s2 != s_prev)).astype(jnp.int32)
+    flag = jnp.zeros((n_local,), jnp.int32)
+    for col in (r, c1, c2, c3):
+        flag = flag | (col != _left_boundary(col, n_dev, fill=-2)).astype(
+            jnp.int32
+        )
     flag = jnp.where((me == 0) & (lidx == 0), 0, flag)
     local_cum = jnp.cumsum(flag)
     totals = jax.lax.all_gather(local_cum[-1], AXIS)  # (n_dev,)
@@ -166,7 +194,8 @@ def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
     _, rank_new = _bitonic_global_sort(
         [idx, dense], num_keys=1, n_local=n_local, n_dev=n_dev
     )
-    next_k = jnp.where(k == 0, 1, k * 2)
+    # k == 0 (a resumed legacy checkpoint) ordered by single chars.
+    next_k = jnp.where(k == 0, 1, k * 4)
     return rank_new, idx, next_k, done
 
 
@@ -174,7 +203,7 @@ def _dist_build_shard(text_local: jax.Array, n_local: int, n_dev: int):
     """Per-device body (under shard_map): full build, returns the local
     SA slice in sorted layout."""
     n_total = n_local * n_dev
-    rank0 = (text_local + 1).astype(jnp.int32)  # PAD -> 0, bytes -> 1..256
+    rank0 = _packed_initial_rank(text_local, n_dev)
 
     def round_step(state):
         rank_home, _, k, _ = state
@@ -184,10 +213,9 @@ def _dist_build_shard(text_local: jax.Array, n_local: int, n_dev: int):
         _, _, k, done = state
         return jnp.logical_not(done) & (k < n_total)
 
-    gidx0 = jnp.zeros((n_local,), jnp.int32)
-    init = (rank0, gidx0, jnp.int32(0), jnp.bool_(False))
-    # Always run the first round (k=0 orders by single characters).
-    state = round_step(init)
+    # Always run the first round (k=3: packed keys order by 3 characters,
+    # so the round orders by 12).
+    state = _round_body(rank0, jnp.int32(3), n_local, n_dev)
     _, sa_local, _, _ = jax.lax.while_loop(cond, round_step, state)
     return sa_local
 
@@ -203,12 +231,20 @@ def _dist_build_jit(text_sharded: jax.Array, n_local: int, n_dev: int, mesh: Mes
 @functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))
 def _dist_step_jit(rank: jax.Array, k: jax.Array, n_local: int, n_dev: int,
                    mesh: Mesh):
-    """One host-driven doubling round over the mesh (for checkpoint/resume)."""
+    """One host-driven quadrupling round over the mesh (checkpoint/resume)."""
     fn = functools.partial(_round_body, n_local=n_local, n_dev=n_dev)
     return jax.shard_map(
         fn, mesh=mesh, in_specs=(P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS), P(), P()), check_vma=False,
     )(rank, k)
+
+
+@functools.partial(jax.jit, static_argnames=("n_dev", "mesh"))
+def _initial_rank_jit(text_sharded: jax.Array, n_dev: int, mesh: Mesh):
+    fn = functools.partial(_packed_initial_rank, n_dev=n_dev)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS), check_vma=False
+    )(text_sharded)
 
 
 def suffix_array_sharded(data: bytes | np.ndarray, mesh: Mesh) -> np.ndarray:
@@ -276,8 +312,9 @@ def suffix_array_sharded_stepped(
     if state is None:
         padded = np.full((n_total,), PAD, dtype=np.int32)
         padded[:n] = arr
-        rank0 = jax.device_put(padded + 1, shard)
-        state = (rank0, None, 0, False)
+        text_sharded = jax.device_put(padded, shard)
+        rank0 = _initial_rank_jit(text_sharded, n_dev, mesh)
+        state = (rank0, None, 3, False)
 
     rank, sa, k, done = state
     while not done and k < n_total:
