@@ -1,0 +1,261 @@
+"""Sharded query serving — the index larger than one chip's HBM.
+
+The reference serves queries from a single in-process table
+(src/table.rs:197-293). This layer serves the same contract from a suffix
+array sharded over a device mesh:
+
+- the suffix table and its packed 18-symbol rank keys (ops/search2.py) are
+  sharded by contiguous *rank block* over the 1-D mesh — the heavy arrays
+  (28 bytes/char of the ~32 bytes/char total) scale with mesh size;
+- the text stays replicated (4 bytes/char as int32) — it is needed for the
+  long-query byte refinement and for building the local key shards;
+- a batch of queries is replicated; every device runs the merge-join fence
+  engine over its *local* key block, producing the per-device count of
+  local keys below each query's lower/upper bound. Because rank blocks are
+  contiguous and ordered, the global bounds are simply the `psum` of the
+  local counts — the collective form of the binary search;
+- queries longer than the 18 packed symbols refine with the same lockstep
+  batched binary search as the single-chip engine, except the probe
+  `table[mid]` is resolved by ownership: the owning device contributes the
+  value, everyone else zero, and one `psum` broadcasts it. All devices run
+  the identical deterministic loop, so the collective stays in lockstep.
+
+Results are bit-identical to the single-chip engine and the reference
+(same unordered-slice, empty-query, and byte-offset semantics), pinned by
+tests/test_dist_query.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from suffix_tpu.ops.padding import PAD, bucket_size
+from suffix_tpu.ops import search2 as s2
+from suffix_tpu.ops.search import _cmp_suffix_query
+from suffix_tpu.parallel.mesh import AXIS
+
+
+def _build_keys_shard(text: jax.Array, table_local: jax.Array,
+                      n_table: jax.Array, n_local: int):
+    """Local packed rank keys for a contiguous rank block (under shard_map).
+
+    Same packing as ops/search2.build_query_index: 6 words of three 9-bit
+    symbols; ranks at or past n_table get PAD_KEY (above every real key).
+    """
+    n_pad = text.shape[0]
+    me = jax.lax.axis_index(AXIS)
+    grank = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
+    sym = (text + 1).astype(jnp.int32)
+    sym_ext = jnp.concatenate([sym, jnp.zeros((s2.KEY_SYMS,), jnp.int32)])
+    s = [sym_ext[k:k + n_pad] for k in range(s2.KEY_SYMS)]
+    mask_real = grank < n_table
+    pk = []
+    for w in range(s2.KEY_WORDS):
+        word_text = s2._pack3(s[3 * w], s[3 * w + 1], s[3 * w + 2])
+        word = jnp.take(word_text, table_local)
+        pk.append(jnp.where(mask_real, word, jnp.int32(s2.PAD_KEY)))
+    return tuple(pk)
+
+
+def _local_below_counts(pk_local, qk, qk_hi, n_local: int):
+    """(lo, up): per-query counts of local keys < qk / <= qk_hi.
+
+    The fence sort + one block row-gather, exactly the single-chip merge
+    engine (ops/search2.py) applied to the local block.
+    """
+    stride = s2._fence_stride(n_local)
+    fk = [w[::stride] for w in pk_local]
+    r_lo, r_up = s2._fence_ranks_both(fk, qk, qk_hi)
+    if stride == 1:
+        return r_lo, r_up
+    pk_block = jnp.stack([w.reshape(-1, stride) for w in pk_local], axis=1)
+    b_lo = jnp.maximum(r_lo - 1, 0)
+    lo = b_lo * stride + s2._block_count(pk_block, b_lo, qk, less_equal=False)
+    b_up = jnp.maximum(r_up - 1, 0)
+    up = b_up * stride + s2._block_count(pk_block, b_up, qk_hi,
+                                         less_equal=True)
+    return lo, up
+
+
+def _probe_table(table_local: jax.Array, mid: jax.Array, n_local: int):
+    """table[mid] for global ranks ``mid`` (Q,), via ownership + psum."""
+    me = jax.lax.axis_index(AXIS)
+    base = me * n_local
+    local = (mid >= base) & (mid < base + n_local)
+    li = jnp.clip(mid - base, 0, n_local - 1)
+    v = jnp.where(local, jnp.take(table_local, li), 0)
+    return jax.lax.psum(v, AXIS)
+
+
+def _refine_dist(text, n_text, table_local, queries, qlens, start, end,
+                 n_local: int):
+    """Batched byte-level (lower, upper) refinement over the sharded table.
+
+    Lockstep binary searches (identical state on every device); each probe
+    resolves table[mid] with one psum. Mirrors ops/search2._refine_one.
+    """
+    cmp_b = jax.vmap(_cmp_suffix_query, in_axes=(None, None, 0, 0, 0))
+
+    def lower_step(lr):
+        left, right = lr
+        active = left < right
+        mid = (left + right) // 2
+        sufi = _probe_table(table_local, mid, n_local).astype(jnp.int32)
+        lt, _ = cmp_b(text, n_text, sufi, queries, qlens)
+        pred = jnp.logical_not(lt)
+        nl = jnp.where(pred, left, mid + 1)
+        nr = jnp.where(pred, mid, right)
+        return jnp.where(active, nl, left), jnp.where(active, nr, right)
+
+    def upper_step(lr):
+        left, right = lr
+        active = left < right
+        mid = (left + right) // 2
+        sufi = _probe_table(table_local, mid, n_local).astype(jnp.int32)
+        _, gt = cmp_b(text, n_text, sufi, queries, qlens)
+        nl = jnp.where(gt, left, mid + 1)
+        nr = jnp.where(gt, mid, right)
+        return jnp.where(active, nl, left), jnp.where(active, nr, right)
+
+    def step(state):
+        lo, up = state
+        return lower_step(lo), upper_step(up)
+
+    def not_converged(state):
+        (ll, lr), (ul, ur) = state
+        return jnp.any(ll < lr) | jnp.any(ul < ur)
+
+    state = ((start, end), (start, end))
+    (s_lo, _), (s_up, _) = jax.lax.while_loop(not_converged, step, state)
+    return s_lo, s_up
+
+
+def _bounds_shard(text, n_text, table_local, pk_local, queries, qlens,
+                  n_table, n_local: int, n_dev: int, max_qlen: int):
+    """Per-device body: global (start, count) per query, replicated out."""
+    qk, qk_hi = s2._batch_query_keys(queries, qlens)
+    lo, up = _local_below_counts(pk_local, qk, qk_hi, n_local)
+    start = jax.lax.psum(lo, AXIS)
+    end = jax.lax.psum(up, AXIS)
+    start = jnp.minimum(start, n_table)
+    end = jnp.minimum(end, n_table)
+
+    if max_qlen > s2.KEY_SYMS:
+        long_q = qlens > s2.KEY_SYMS
+        rs = jnp.where(long_q, start, 0)
+        re = jnp.where(long_q, end, 0)
+        r_start, r_end = _refine_dist(text, n_text, table_local, queries,
+                                      qlens, rs, re, n_local)
+        start = jnp.where(long_q, r_start, start)
+        end = jnp.where(long_q, r_end, end)
+
+    empty = (qlens == 0) | (n_table == 0)
+    start = jnp.where(empty, 0, start)
+    count = jnp.where(empty, 0, jnp.maximum(end - start, 0))
+    return start, count
+
+
+class ShardedQueryIndex:
+    """Serve positions()/contains()/count() from a mesh-sharded index.
+
+    Matches SuffixTable query semantics bit-for-bit (src/table.rs:197-293):
+    unordered SA-slice positions, byte offsets, empty query matches
+    nothing. The table and rank keys are sharded; per-device HBM is
+    ~(4 + 28/D) bytes/char versus ~32 on one chip.
+    """
+
+    def __init__(self, data: bytes | np.ndarray, mesh: Mesh,
+                 sa: np.ndarray | None = None):
+        arr = (np.frombuffer(bytes(data), dtype=np.uint8)
+               if isinstance(data, (bytes, bytearray))
+               else np.asarray(data, dtype=np.uint8))
+        self.mesh = mesh
+        self.n = int(arr.shape[0])
+        self.n_dev = mesh.devices.size
+        if sa is None:
+            from suffix_tpu.parallel.dist_build import suffix_array_sharded
+            sa = suffix_array_sharded(arr, mesh)
+        self._sa_host = np.asarray(sa, dtype=np.uint32)
+
+        n_pad = max(bucket_size(max(self.n, 1)), 8 * self.n_dev)
+        n_pad = -(-n_pad // self.n_dev) * self.n_dev
+        self.n_pad = n_pad
+        self.n_local = n_pad // self.n_dev
+        padded_text = np.full((n_pad,), PAD, np.int32)
+        padded_text[:self.n] = arr
+        padded_tab = np.zeros((n_pad,), np.int32)
+        padded_tab[:self.n] = self._sa_host
+
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(AXIS))
+        self._text = jax.device_put(padded_text, rep)
+        self._table = jax.device_put(padded_tab, shard)
+        self._pk = _keys_jit(self._text, self._table, jnp.int32(self.n),
+                             self.n_local, self.n_dev, mesh)
+
+    def bounds_batch(self, queries: np.ndarray, qlens: np.ndarray):
+        """(start, count) arrays for a padded (Q, m) int batch."""
+        queries = np.asarray(queries, np.int32)
+        qlens = np.asarray(qlens, np.int32)
+        max_qlen = int(queries.shape[1])
+        start, count = _bounds_jit(
+            self._text, jnp.int32(self.n), self._table, self._pk,
+            jnp.asarray(queries), jnp.asarray(qlens), jnp.int32(self.n),
+            self.n_local, self.n_dev, max_qlen, self.mesh)
+        return np.asarray(start), np.asarray(count)
+
+    def _encode(self, queries):
+        qb = [np.frombuffer(q.encode() if isinstance(q, str) else bytes(q),
+                            np.uint8) for q in queries]
+        m = max((len(q) for q in qb), default=1)
+        m = max(m, 1)
+        out = np.zeros((len(qb), m), np.int32)
+        for i, q in enumerate(qb):
+            out[i, :len(q)] = q
+        return out, np.array([len(q) for q in qb], np.int32)
+
+    def positions_batch(self, queries) -> list[np.ndarray]:
+        q, ql = self._encode(queries)
+        start, count = self.bounds_batch(q, ql)
+        return [self._sa_host[s:s + c] for s, c in zip(start, count)]
+
+    def positions(self, query) -> np.ndarray:
+        return self.positions_batch([query])[0]
+
+    def count_batch(self, queries) -> np.ndarray:
+        q, ql = self._encode(queries)
+        return self.bounds_batch(q, ql)[1]
+
+    def contains_batch(self, queries) -> np.ndarray:
+        return self.count_batch(queries) > 0
+
+    def contains(self, query) -> bool:
+        return bool(self.contains_batch([query])[0])
+
+
+@functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))
+def _keys_jit(text, table, n_table, n_local: int, n_dev: int, mesh: Mesh):
+    fn = functools.partial(_build_keys_shard, n_local=n_local)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(), P(AXIS), P()),
+        out_specs=(P(AXIS),) * s2.KEY_WORDS, check_vma=False,
+    )(text, table, n_table)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_local", "n_dev", "max_qlen", "mesh"))
+def _bounds_jit(text, n_text, table, pk, queries, qlens, n_table,
+                n_local: int, n_dev: int, max_qlen: int, mesh: Mesh):
+    fn = functools.partial(_bounds_shard, n_local=n_local, n_dev=n_dev,
+                           max_qlen=max_qlen)
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), (P(AXIS),) * s2.KEY_WORDS,
+                  P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False,
+    )(text, n_text, table, pk, queries, qlens, n_table)

@@ -1,0 +1,82 @@
+"""Sharded query serving vs the single-chip engine.
+
+ShardedQueryIndex must reproduce SuffixTable query semantics bit-for-bit
+on every mesh size (reference contract: src/table.rs:197-293 — unordered
+SA-slice positions, byte offsets, empty query matches nothing).
+"""
+
+import numpy as np
+import pytest
+
+from suffix_tpu import SuffixTable
+from suffix_tpu.parallel.dist_query import ShardedQueryIndex
+from suffix_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module", params=[1, 2, 8])
+def mesh(request):
+    return make_mesh(request.param)
+
+
+def test_directed_small(mesh):
+    text = b"the quick brown fox was quick."
+    st = SuffixTable.new(text)
+    idx = ShardedQueryIndex(text, mesh, sa=st.table())
+    for q in ["quick", "q", "fox", "zebra", "", "the quick brown fox was",
+              "quick.", ".", "ick"]:
+        assert idx.positions(q).tolist() == st.positions(q).tolist(), q
+        assert idx.contains(q) == st.contains(q), q
+
+
+def test_duplicate_matches_sa_order(mesh):
+    # reference tests/tests.rs:149-161: positions come back in SA order.
+    st = SuffixTable.new("banana")
+    idx = ShardedQueryIndex(b"banana", mesh, sa=st.table())
+    assert idx.positions("ana").tolist() == st.positions("ana").tolist()
+    assert idx.positions("a").tolist() == st.positions("a").tolist()
+
+
+def test_random_bytes_batch(mesh, rng):
+    data = rng.integers(0, 4, size=3000, dtype=np.uint8) + 97
+    st = SuffixTable.new(data.tobytes())
+    idx = ShardedQueryIndex(data, mesh, sa=st.table())
+    queries = []
+    for qlen in [1, 2, 3, 7, 13, 18]:
+        for _ in range(8):
+            s = int(rng.integers(0, 3000 - qlen))
+            queries.append(data[s:s + qlen].tobytes())
+    queries += [b"zzz", b"aaaaaaaaaaaaaaaaaa", bytes([0, 1, 2])]
+    got = idx.positions_batch(queries)
+    for q, g in zip(queries, got):
+        assert g.tolist() == st.positions(q).tolist(), q
+
+
+def test_long_queries_refine(mesh, rng):
+    # qlen > 18 exercises the sharded-table probe refinement.
+    data = (b"abracadabra" * 40)[:440]
+    st = SuffixTable.new(data)
+    idx = ShardedQueryIndex(data, mesh, sa=st.table())
+    queries = [data[7:7 + 25], data[0:30], b"abracadabra" * 3,
+               data[3:3 + 19], b"x" * 22]
+    got = idx.positions_batch(queries)
+    for q, g in zip(queries, got):
+        assert sorted(g.tolist()) == sorted(st.positions(q).tolist()), q
+        assert g.tolist() == st.positions(q).tolist(), q
+
+
+def test_unicode_byte_offsets(mesh):
+    text = "☃abc☃"
+    st = SuffixTable.new(text)
+    idx = ShardedQueryIndex(text.encode(), mesh, sa=st.table())
+    assert idx.positions("☃").tolist() == [6, 0]
+    assert idx.positions("☃").tolist() == st.positions("☃").tolist()
+
+
+def test_build_from_scratch(mesh):
+    # No precomputed SA: the sharded build feeds the sharded server.
+    text = b"mississippi river mississippi delta"
+    idx = ShardedQueryIndex(text, mesh)
+    st = SuffixTable.new(text)
+    for q in ["issi", "mississippi", "delta", "x", "i"]:
+        assert idx.positions(q).tolist() == st.positions(q).tolist()
+        assert idx.count_batch([q])[0] == len(st.positions(q))
