@@ -276,15 +276,18 @@ def suffix_array_sharded_stepped(
     mesh: Mesh,
     checkpoint_path: str | None = None,
     resume: bool = False,
+    round_hook=None,
 ) -> np.ndarray:
     """Host-driven sharded build with checkpoint/resume between rounds.
 
-    The failure-recovery path (SURVEY.md §5): each doubling round is one
-    jitted SPMD step; after every round the (rank, sa, k) state can be
-    persisted, and a restarted process resumes from the last completed
-    round — deterministic, so the final SA is bit-identical to an
-    uninterrupted run. The reference has no equivalent (errors are
-    panics, src/table.rs:369-380).
+    The failure-recovery path (SURVEY.md §5): each quadrupling round is one
+    jitted SPMD step; after every round the (rank, sa, k) state is
+    persisted atomically (write + rename, so a crash mid-write leaves the
+    previous round's file), and a restarted process resumes from the last
+    completed round — deterministic, so the final SA is bit-identical to
+    an uninterrupted run. The reference has no equivalent (errors are
+    panics, src/table.rs:369-380). ``round_hook(k, done)`` is called after
+    each persisted round (metrics / fault-injection tests).
     """
     arr = (
         np.frombuffer(bytes(data), dtype=np.uint8)
@@ -301,14 +304,17 @@ def suffix_array_sharded_stepped(
 
     state = None
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        with np.load(checkpoint_path) as z:
-            if int(z["n_total"]) == n_total:
-                state = (
-                    jax.device_put(z["rank"], shard),
-                    jax.device_put(z["sa"], shard),
-                    int(z["k"]),
-                    bool(z["done"]),
-                )
+        try:
+            with np.load(checkpoint_path) as z:
+                if int(z["n_total"]) == n_total:
+                    state = (
+                        jax.device_put(z["rank"], shard),
+                        jax.device_put(z["sa"], shard),
+                        int(z["k"]),
+                        bool(z["done"]),
+                    )
+        except (OSError, ValueError, KeyError):
+            state = None  # corrupt/partial checkpoint: restart from scratch
     if state is None:
         padded = np.full((n_total,), PAD, dtype=np.int32)
         padded[:n] = arr
@@ -324,13 +330,20 @@ def suffix_array_sharded_stepped(
         done = bool(done_arr)
         k = int(next_k)
         if checkpoint_path:
+            # Atomic: a crash mid-write must not destroy the previous
+            # round's checkpoint (np.savez appends .npz to bare names, so
+            # the temp name keeps the suffix).
+            tmp = checkpoint_path + ".tmp.npz"
             np.savez(
-                checkpoint_path,
+                tmp,
                 rank=np.asarray(rank),
                 sa=np.asarray(sa),
                 k=np.int64(k),
                 done=np.bool_(done),
                 n_total=np.int64(n_total),
             )
+            os.replace(tmp, checkpoint_path)
+        if round_hook is not None:
+            round_hook(k, done)
     sa_full = np.asarray(sa)
     return sa_full[n_total - n:].astype(np.uint32)
