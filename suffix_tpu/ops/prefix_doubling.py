@@ -34,27 +34,29 @@ import numpy as np
 from suffix_tpu.ops.padding import PAD, bucket_size
 
 
-INIT_WORDS = 4  # initial sort orders by INIT_WORDS * 3 characters
+INIT_WORDS = 2  # initial sort orders by INIT_WORDS * 3 characters
 
 
-def _initial_words(text: jax.Array) -> list[jax.Array]:
-    """Pack the leading 3*INIT_WORDS bytes into int32 words (3 x 9 bits).
+def _initial_words(text: jax.Array, init_words: int) -> list[jax.Array]:
+    """Pack the leading 3*init_words bytes into int32 words (3 x 9 bits).
 
     Values are shifted to [1, 256] so that the past-the-end fill (0)
     compares below every real byte — the sentinel rule. Word w holds
     characters [3w, 3w+3); sorting by all words orders suffixes by their
-    first 3*INIT_WORDS characters, so the quadrupling rounds start at a
-    depth that typically saves one full round (each extra sort operand
-    costs ~3 ms/4M on v5e versus ~30 ms for a round)."""
+    first 3*init_words characters. Each extra sort operand costs ~3 ms/4M
+    on v5e versus ~30 ms for a quadrupling round, so wider initial sorts
+    pay off exactly when they cross the corpus' max-LCP threshold and
+    remove a round (measured: on random 4 MiB DNA, max LCP ~22 < 24 means
+    h0=6 already converges in one round and wider is pure overhead)."""
     n = text.shape[0]
     sym = (text + 1).astype(jnp.int32)  # PAD (-1) -> 0, bytes -> 1..256
     sym_ext = jnp.concatenate(
-        [sym, jnp.zeros((3 * INIT_WORDS - 1,), jnp.int32)]
+        [sym, jnp.zeros((3 * init_words - 1,), jnp.int32)]
     )
-    s = [sym_ext[j:j + n] for j in range(3 * INIT_WORDS)]
+    s = [sym_ext[j:j + n] for j in range(3 * init_words)]
     return [
         (s[3 * w] << 18) | (s[3 * w + 1] << 9) | s[3 * w + 2]
-        for w in range(INIT_WORDS)
+        for w in range(init_words)
     ]
 
 
@@ -68,8 +70,10 @@ def _invert_permutation(sa: jax.Array, values: jax.Array) -> jax.Array:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _suffix_array_padded(text: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("init_words", "index_dtype"))
+def _suffix_array_padded(text: jax.Array,
+                         init_words: int = INIT_WORDS,
+                         index_dtype=jnp.int32) -> jax.Array:
     """Suffix array of a PAD-padded int32 text (static length).
 
     Returns the full permutation of [0, n_pad); suffixes that start inside
@@ -80,28 +84,34 @@ def _suffix_array_padded(text: jax.Array) -> jax.Array:
     contiguous dynamic slice (not a gather), the sorted key columns come
     out of the sort itself (no re-gather), and the rank inverse-permute is
     a key-sort (no scatter).
+
+    ``index_dtype``: int32 by default (texts < 2^31 bytes, covering the
+    reference's entire u32 domain in practice); pass jnp.int64 (requires
+    jax_enable_x64) for larger corpora — indices, ranks, and the round
+    counter widen, the packed key words stay int32.
     """
     n = text.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    neg = jnp.full((n,), -1, jnp.int32)
+    idx = jnp.arange(n, dtype=index_dtype)
+    neg = jnp.full((n,), -1, index_dtype)
 
-    # Initial round: order by 3*INIT_WORDS packed bytes, so the quadrupling
-    # rounds start at h=12 (12 -> 48 -> 192 ...). On random/genomic text the
-    # expected maximum LCP is a small multiple of log_sigma(n) (~22 chars
-    # for 4 MiB DNA), so h=12 converges after ONE quadrupling round where
-    # h=6 needed two — a measured ~1.4x on the 4 MiB benchmark.
-    words = _initial_words(text)
-    sorted_ops = jax.lax.sort(tuple(words) + (idx,), num_keys=INIT_WORDS + 1)
+    # Initial round: order by 3*init_words packed bytes, so the quadrupling
+    # rounds start at h=3*init_words. The rank inverse-permute (a key-sort)
+    # feeds the first quadrupling round only — skip it when the initial
+    # sort already separated every suffix.
+    words = _initial_words(text, init_words)
+    sorted_ops = jax.lax.sort(tuple(words) + (idx,), num_keys=init_words + 1)
     sa0 = sorted_ops[-1]
     diff0 = sorted_ops[0][1:] != sorted_ops[0][:-1]
-    for col in sorted_ops[1:INIT_WORDS]:
+    for col in sorted_ops[1:init_words]:
         diff0 = diff0 | (col[1:] != col[:-1])
     new_flag = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), diff0.astype(jnp.int32)]
+        [jnp.zeros((1,), index_dtype), diff0.astype(index_dtype)]
     )
     dense0 = jnp.cumsum(new_flag)
-    rank = _invert_permutation(sa0, dense0)
     done0 = dense0[-1] == n - 1
+    rank = jax.lax.cond(
+        done0, lambda: dense0, lambda: _invert_permutation(sa0, dense0)
+    )
 
     def cond(state):
         _, _, k, done = state
@@ -132,7 +142,7 @@ def _suffix_array_padded(text: jax.Array) -> jax.Array:
             | (r3[1:] != r3[:-1]) | (r4[1:] != r4[:-1])
         )
         new_flag = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), diff.astype(jnp.int32)]
+            [jnp.zeros((1,), index_dtype), diff.astype(index_dtype)]
         )
         dense = jnp.cumsum(new_flag)
         done = dense[-1] == n - 1
@@ -144,14 +154,16 @@ def _suffix_array_padded(text: jax.Array) -> jax.Array:
         return (new_rank, sa, k * 4, done)
 
     _, sa, _, _ = jax.lax.while_loop(
-        cond, body, (rank, sa0, jnp.int32(3 * INIT_WORDS), done0)
+        cond, body, (rank, sa0, jnp.asarray(3 * init_words, index_dtype),
+                     done0)
     )
     return sa
 
 
 def suffix_array_bytes(data: np.ndarray | bytes,
-                       padding: str = "pow2") -> np.ndarray:
-    """Suffix array (uint32 byte offsets) of ``data``, built on device.
+                       padding: str = "pow2",
+                       index_dtype: str = "u32") -> np.ndarray:
+    """Suffix array (unsigned byte offsets) of ``data``, built on device.
 
     Matches ``SuffixTable::new`` (src/table.rs:78-85): strict
     byte-lexicographic order over all suffixes of the raw bytes.
@@ -159,21 +171,37 @@ def suffix_array_bytes(data: np.ndarray | bytes,
     ``padding``: "pow2" (default, fewest compiled shapes) or "fine"
     (<=12.5% padded overhead — up to ~2x less compute for sizes just
     above a power of two, at the cost of more one-time compilations).
+
+    ``index_dtype``: "u32" (default; reference parity, texts < 2^31
+    bytes) or "u64" (beyond the reference's u32 cap, src/table.rs:68-77;
+    requires jax_enable_x64). "auto" picks by size.
     """
     from suffix_tpu.ops.padding import bucket_size_fine
 
     arr = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
     n = int(arr.shape[0])
+    n_pad0 = bucket_size(n) if padding == "pow2" else bucket_size_fine(max(n, 1))
+    if index_dtype == "auto":
+        index_dtype = "u64" if n_pad0 >= (1 << 31) else "u32"
+    if index_dtype == "u64":
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "index_dtype='u64' requires jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))")
+        dtype, out_dtype = jnp.int64, np.uint64
+    else:
+        if n_pad0 >= (1 << 31):
+            raise ValueError(
+                "text needs >= 2^31 padded bytes: pass index_dtype='u64'")
+        dtype, out_dtype = jnp.int32, np.uint32
     if n == 0:
-        return np.empty((0,), dtype=np.uint32)
-    if n > 0xFFFFFFFF:
-        raise ValueError("text is too large (max 2^32 - 1 bytes)")
-    n_pad = bucket_size(n) if padding == "pow2" else bucket_size_fine(n)
-    padded = np.full((n_pad,), PAD, dtype=np.int32)
+        return np.empty((0,), dtype=out_dtype)
+    padded = np.full((n_pad0,), PAD, dtype=np.int32)
     padded[:n] = arr
-    sa_full = np.asarray(_suffix_array_padded(jnp.asarray(padded)))
+    sa_full = np.asarray(
+        _suffix_array_padded(jnp.asarray(padded), index_dtype=dtype))
     # Padding suffixes (all-PAD) sort strictly first; drop them.
-    return sa_full[n_pad - n :].astype(np.uint32)
+    return sa_full[n_pad0 - n :].astype(out_dtype)
 
 
 def suffix_array_device(text_padded: jax.Array, n_pad: int) -> jax.Array:

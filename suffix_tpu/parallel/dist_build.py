@@ -247,16 +247,23 @@ def _initial_rank_jit(text_sharded: jax.Array, n_dev: int, mesh: Mesh):
     )(text_sharded)
 
 
-def suffix_array_sharded(data: bytes | np.ndarray, mesh: Mesh) -> np.ndarray:
+def suffix_array_sharded(data: bytes | np.ndarray | str,
+                         mesh: Mesh) -> np.ndarray:
     """Suffix array (uint32) built across all devices of ``mesh``.
 
-    Output is bit-identical to the single-device engine and the reference.
+    ``data`` may be bytes, a uint8 array, or a file path — paths are
+    streamed shard-by-shard from an mmap (utils/io.py), never fully
+    materialized as a host int32 copy. Output is bit-identical to the
+    single-device engine and the reference.
     """
-    arr = (
-        np.frombuffer(bytes(data), dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    from suffix_tpu.utils.io import device_corpus, open_corpus
+
+    if isinstance(data, str):
+        arr = open_corpus(data)
+    elif isinstance(data, (bytes, bytearray)):
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    else:
+        arr = np.asarray(data, dtype=np.uint8)
     n = int(arr.shape[0])
     if n == 0:
         return np.empty((0,), dtype=np.uint32)
@@ -264,9 +271,7 @@ def suffix_array_sharded(data: bytes | np.ndarray, mesh: Mesh) -> np.ndarray:
     # Local shard >= 8 keeps degenerate tiny shapes out of the kernels.
     n_local = max(8, -(-n // n_dev))
     n_total = n_local * n_dev
-    padded = np.full((n_total,), PAD, dtype=np.int32)
-    padded[:n] = arr
-    sharded = jax.device_put(padded, NamedSharding(mesh, P(AXIS)))
+    sharded, _ = device_corpus(arr, mesh, n_pad=n_total)
     sa_full = np.asarray(_dist_build_jit(sharded, n_local, n_dev, mesh))
     return sa_full[n_total - n:].astype(np.uint32)
 

@@ -74,7 +74,7 @@ class SuffixTable:
 
     @classmethod
     def new(cls, text, engine: str = "device",
-            padding: str = "pow2") -> "SuffixTable":
+            padding: str = "pow2", index_dtype: str = "u32") -> "SuffixTable":
         """Build the suffix table (reference: src/table.rs:78-85).
 
         Engines (all produce the identical, unique suffix array):
@@ -84,12 +84,16 @@ class SuffixTable:
         - ``"sais"``    — the SA-IS-structured device pipeline (LMS
           sample + stratified induced derivation, ops/sais.py);
         - ``"native"``  — linear-time C++ SA-IS on the host CPU.
+
+        ``index_dtype`` ("u32"/"u64"/"auto", device engine only) widens
+        indices past the reference's u32 cap; u64 needs jax_enable_x64.
         """
         raw, was_str = _as_bytes(text)
-        if len(raw) > MAX_TEXT_LEN:
+        if len(raw) > MAX_TEXT_LEN and index_dtype == "u32":
             raise ValueError("text is too large (max 2^32 - 1 bytes)")
         if engine == "device":
-            table = prefix_doubling.suffix_array_bytes(raw, padding=padding)
+            table = prefix_doubling.suffix_array_bytes(
+                raw, padding=padding, index_dtype=index_dtype)
         elif engine == "sais":
             from suffix_tpu.ops import sais
 

@@ -1,0 +1,66 @@
+"""Streamed corpus ingestion for multi-GiB builds.
+
+The reference reads the whole file into a String (src/main.rs:9-11); at
+framework scale that costs 5x the corpus in host RAM (1x bytes + 4x the
+int32 device staging copy). This module streams instead:
+
+- ``open_corpus``: zero-copy read-only ``np.memmap`` view of the file;
+- ``device_corpus``: PAD-padded int32 device array, uploaded shard by
+  shard through ``jax.make_array_from_callback`` — each device's block is
+  converted uint8 -> int32 on the fly from the memmap, so peak host
+  memory is one shard, not the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from suffix_tpu.ops.padding import PAD, bucket_size
+
+
+def open_corpus(path: str) -> np.ndarray:
+    """Read-only uint8 view of ``path`` (OS page cache does the buffering)."""
+    return np.memmap(path, dtype=np.uint8, mode="r")
+
+
+def device_corpus(path_or_bytes, mesh=None, n_pad: int | None = None):
+    """PAD-padded int32 corpus on device, streamed from disk.
+
+    With ``mesh``, the result is sequence-sharded over the mesh's first
+    axis (the layout the sharded build consumes); otherwise it lives on
+    the default device. Returns (array, n) with n the true byte length.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from suffix_tpu.parallel.mesh import AXIS
+
+    if isinstance(path_or_bytes, str):
+        raw = open_corpus(path_or_bytes)
+    elif isinstance(path_or_bytes, np.ndarray):
+        raw = path_or_bytes  # zero-copy (memmaps included)
+        assert raw.dtype == np.uint8
+    else:
+        raw = np.frombuffer(bytes(path_or_bytes), dtype=np.uint8)
+    n = int(raw.shape[0])
+    if n_pad is None:
+        n_pad = bucket_size(max(n, 1))
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        n_pad = -(-n_pad // n_dev) * n_dev
+        sharding = NamedSharding(mesh, P(AXIS))
+    else:
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def _block(index) -> np.ndarray:
+        # index: tuple of slices into the global (n_pad,) shape.
+        sl = index[0]
+        lo = 0 if sl.start is None else sl.start
+        hi = n_pad if sl.stop is None else sl.stop
+        out = np.full((hi - lo,), PAD, dtype=np.int32)
+        take = min(hi, n) - lo
+        if take > 0:
+            out[:take] = raw[lo:lo + take]
+        return out
+
+    arr = jax.make_array_from_callback((n_pad,), sharding, _block)
+    return arr, n

@@ -1,0 +1,63 @@
+"""u64 index option — beyond the reference's u32 cap (src/table.rs:68-77).
+
+The wide-index engine must produce the identical permutation (values
+equal, dtype wider). x64 mode is process-global in JAX, so the u64 build
+runs in a subprocess to leave this test process' config untouched.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+
+def test_u64_requires_x64():
+    from suffix_tpu.ops.prefix_doubling import suffix_array_bytes
+    import pytest
+
+    with pytest.raises(ValueError, match="u64"):
+        suffix_array_bytes(b"banana", index_dtype="u64")
+
+
+CHILD = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+sys.path.insert(0, {repo!r})
+from suffix_tpu.ops.prefix_doubling import suffix_array_bytes
+
+rng = np.random.default_rng(3)
+for i, data in enumerate([b"banana", b"mississippi", b"abracadabra" * 40,
+             rng.integers(0, 256, size=2000, dtype=np.uint8).tobytes(),
+             b"\x00" * 37]):
+    sa = suffix_array_bytes(data, index_dtype="u64")
+    assert sa.dtype == np.uint64, sa.dtype
+    np.save({out!r} + f"/case_{{i}}.npy", sa)
+print("OK", flush=True)
+"""
+
+
+def test_u64_matches_u32(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "child_u64.py"
+    script.write_text(CHILD.format(repo=repo, out=str(tmp_path)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([sys.executable, str(script)], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "OK" in r.stdout, (r.stdout, r.stderr)
+
+    from suffix_tpu.ops.prefix_doubling import suffix_array_bytes
+
+    rng = np.random.default_rng(3)
+    for i, data in enumerate([b"banana", b"mississippi", b"abracadabra" * 40,
+                 rng.integers(0, 256, size=2000, dtype=np.uint8).tobytes(),
+                 b"\x00" * 37]):
+        path = tmp_path / f"case_{i}.npy"
+        wide = np.load(path)
+        narrow = suffix_array_bytes(data, index_dtype="u32")
+        assert np.array_equal(wide.astype(np.uint32), narrow), data[:20]
