@@ -109,15 +109,15 @@ def main() -> None:
 
     # --- batched queries on the 4 MiB index (merge-join engine) ----------
     sa_dev = jnp.asarray(np.asarray(sa).astype(np.int32))
-    pk, pk_block, _lut = search_ops.build_query_index(t_dev, sa_dev, jnp.int32(n))
-    sync(pk)
+    _pk, pk_fence, pk_block, _lut = search_ops.build_query_index(t_dev, sa_dev, jnp.int32(n))
+    sync(_pk)
     n_q = 65536
     qlen = 14  # the reference's many-match bench pattern length
     starts = rng.integers(0, n - qlen, size=n_q)
     queries = np.stack([corpus[s : s + qlen] for s in starts]).astype(np.int32)
     qlens = np.full((n_q,), qlen, dtype=np.int32)
     n_iters = (n + 1).bit_length()
-    args = (t_dev, jnp.int32(n), sa_dev, jnp.int32(n), pk, pk_block,
+    args = (t_dev, jnp.int32(n), sa_dev, jnp.int32(n), pk_fence, pk_block,
             jnp.asarray(queries), jnp.asarray(qlens), n_iters, qlen)
     sync(search_ops.bounds_batch_merge(*args))  # compile
     dt_q = _throughput_time(lambda: search_ops.bounds_batch_merge(*args), sync)
@@ -132,15 +132,15 @@ def main() -> None:
     sa_fix = _suffix_array_padded(t_fix)
     sync(sa_fix)
     tab_fix = sa_fix.astype(jnp.int32)
-    pk_f, pkb_f, _ = search_ops.build_query_index(
+    _pkf, pkf_fence, pkb_f, _ = search_ops.build_query_index(
         t_fix, tab_fix, jnp.int32(n_fix_real))
-    sync(pk_f)
+    sync(pkf_fence)
     fix_np = np.frombuffer(fixture, np.uint8).astype(np.int32)
     starts_f = rng.integers(0, n_fix_real - qlen, size=n_q)
     queries_f = np.stack([fix_np[s : s + qlen] for s in starts_f])
     n_iters_f = (n_fix + 1).bit_length()
     args_f = (t_fix, jnp.int32(n_fix_real), tab_fix, jnp.int32(n_fix_real),
-              pk_f, pkb_f, jnp.asarray(queries_f), jnp.asarray(qlens),
+              pkf_fence, pkb_f, jnp.asarray(queries_f), jnp.asarray(qlens),
               n_iters_f, qlen)
     sync(search_ops.bounds_batch_merge(*args_f))
     dt_qf = _throughput_time(lambda: search_ops.bounds_batch_merge(*args_f), sync)
@@ -153,10 +153,10 @@ def main() -> None:
     # --- LCP on the 4 MiB index (keyed + chunked refinement) -------------
     from suffix_tpu.ops.lcp import _lcp_keyed
 
-    sync(_lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n), tuple(pk)))
+    sync(_lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n), tuple(_pk)))
     dt_l = _throughput_time(
         lambda: _lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n),
-                           tuple(pk)), sync)
+                           tuple(_pk)), sync)
     detail["lcp_4MiB_s"] = round(dt_l, 4)
     detail["lcp_4MiB_MBps"] = round(n / dt_l / 1e6, 1)
 

@@ -178,7 +178,7 @@ def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
     if pk is None:
         from suffix_tpu.ops import search2
 
-        pk, _, _ = search2.build_query_index(t_dev, tab_dev, jnp.int32(n))
+        pk, _, _, _ = search2.build_query_index(t_dev, tab_dev, jnp.int32(n))
     out = _lcp_keyed(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
                      tuple(pk), block=block)
     return np.asarray(out)[:n].astype(np.uint32)

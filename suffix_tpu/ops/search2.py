@@ -45,6 +45,7 @@ SYM_BITS = 9
 SYMS_PER_WORD = 3
 KEY_WORDS = 6
 KEY_SYMS = KEY_WORDS * SYMS_PER_WORD  # 18
+EXT_KEY_WORDS = 12  # on-demand wide keys: exact merge join to 36 bytes
 LUT_SIDE = 257  # symbol alphabet: 0 (end) + 256 byte values
 WORD_MASK = (1 << (SYM_BITS * SYMS_PER_WORD)) - 1  # 27 bits
 PAD_KEY = 0x7FFFFFFF  # above every real key word
@@ -54,22 +55,27 @@ def _pack3(s0, s1, s2):
     return (s0 << 18) | (s1 << 9) | s2
 
 
-@functools.partial(jax.jit, static_argnames=())
-def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array):
-    """Packed rank keys (KEY_WORDS words) + 2-symbol LUT.
+@functools.partial(jax.jit, static_argnames=("key_words",))
+def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array,
+                      key_words: int = KEY_WORDS):
+    """Packed rank keys (``key_words`` words) + 2-symbol LUT.
 
     ``text`` is the PAD-padded int32 text, ``table`` the padded suffix
-    table (entries beyond n_table are zero).
+    table (entries beyond n_table are zero). ``key_words`` widens the
+    exact merge-join coverage to 3*key_words bytes — built on demand for
+    batches with long patterns (3 words of index memory per extra 9
+    covered bytes).
     """
     n_pad = text.shape[0]
+    key_syms = 3 * key_words
     # Symbols: byte+1 in [1,256]; PAD (-1) and the appended zeros both map
     # to 0 — the end-of-text sentinel.
     sym = (text + 1).astype(jnp.int32)
-    sym_ext = jnp.concatenate([sym, jnp.zeros((KEY_SYMS,), jnp.int32)])
-    s = [sym_ext[k:k + n_pad] for k in range(KEY_SYMS)]
+    sym_ext = jnp.concatenate([sym, jnp.zeros((key_syms,), jnp.int32)])
+    s = [sym_ext[k:k + n_pad] for k in range(key_syms)]
     mask_real = jnp.arange(n_pad) < n_table
     pk = []
-    for w in range(KEY_WORDS):
+    for w in range(key_words):
         word_text = _pack3(s[3 * w], s[3 * w + 1], s[3 * w + 2])
         word = jnp.take(word_text, table)
         pk.append(jnp.where(mask_real, word, jnp.int32(PAD_KEY)))
@@ -84,28 +90,35 @@ def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array):
     # Blocked layout for the fence engine: (n/stride, words, stride),
     # contiguous per block so one row-gather fetches a whole block of all
     # key words (row gathers are ~4x faster than element gathers on TPU).
+    # Fences (every stride-th key) are materialized HERE, once per index:
+    # extracting them per query batch costs ~25 ms/4M of strided reads
+    # (measured v5e) — half the whole engine's budget.
     stride = _fence_stride(n_pad)
     if stride > 1:
         pk_block = jnp.stack([w.reshape(-1, stride) for w in pk], axis=1)
+        pk_fence = tuple(w[::stride] for w in pk)
     else:
         pk_block = None
-    return tuple(pk), pk_block, lut
+        pk_fence = tuple(pk)
+    return tuple(pk), pk_fence, pk_block, lut
 
 
-def _batch_query_keys(queries: jax.Array, qlens: jax.Array):
-    """(qk, qk_hi): lists of KEY_WORDS packed words per query.
+def _batch_query_keys(queries: jax.Array, qlens: jax.Array,
+                      key_words: int = KEY_WORDS):
+    """(qk, qk_hi): lists of ``key_words`` packed words per query.
 
     qk zero-fills symbols past qlen (lower-bound form); qk_hi max-fills
     them (upper-bound form).
     """
     n_q, m = queries.shape
+    key_syms = 3 * key_words
     cols = jnp.arange(m, dtype=jnp.int32)
     syms = jnp.where(cols[None, :] < qlens[:, None], queries + 1, 0)
     syms = syms.astype(jnp.int32)
-    pad = jnp.zeros((n_q, KEY_SYMS), jnp.int32)
-    full = jnp.concatenate([syms, pad], axis=1)[:, :KEY_SYMS]
+    pad = jnp.zeros((n_q, key_syms), jnp.int32)
+    full = jnp.concatenate([syms, pad], axis=1)[:, :key_syms]
     qk, qk_hi = [], []
-    for w in range(KEY_WORDS):
+    for w in range(key_words):
         word = _pack3(full[:, 3 * w], full[:, 3 * w + 1], full[:, 3 * w + 2])
         k = jnp.clip(qlens - 3 * w, 0, 3)
         mask = jnp.int32(WORD_MASK) & ~((1 << (SYM_BITS * (3 - k))) - 1)
@@ -135,7 +148,7 @@ def _fence_ranks_both(fk: list, qk: list, qk_hi: list):
         jnp.arange(n_q, dtype=jnp.int32),
         jnp.arange(n_q, 2 * n_q, dtype=jnp.int32),
     ])
-    out_ops = jax.lax.sort(tuple(ks) + (tie, qid), num_keys=KEY_WORDS + 1)
+    out_ops = jax.lax.sort(tuple(ks) + (tie, qid), num_keys=len(ks) + 1)
     sqid = out_ops[-1]
     is_fence = (sqid == 2 * n_q).astype(jnp.int32)
     fences_before = jnp.cumsum(is_fence) - is_fence  # exclusive
@@ -211,16 +224,24 @@ def _refine_one(text, n_text, table, query, qlen, start, end):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "max_qlen"))
-def bounds_batch_merge(text, n_text, table, n_table, pk, pk_block,
-                       queries, qlens, n_iters: int, max_qlen: int):
-    """(start, count) per query via the merge-join engine."""
-    del n_iters
-    qk, qk_hi = _batch_query_keys(queries, qlens)
+def bounds_batch_merge(text, n_text, table, n_table, pk_fence, pk_block,
+                       queries, qlens, n_iters: int, max_qlen: int,
+                       pk=None):
+    """(start, count) per query via the merge-join engine.
 
-    stride = _fence_stride(pk[0].shape[0])
-    fk = [w[::stride] for w in pk]
+    ``pk_fence``/``pk_block`` come precomputed from build_query_index.
+    Exact for qlen <= 3*len(pk_fence); longer queries fall through to the
+    probe-refine phase on the key-equal range (``pk`` unused there — the
+    refine compares text bytes directly).
+    """
+    del n_iters, pk
+    key_words = len(pk_fence)
+    key_syms = 3 * key_words
+    qk, qk_hi = _batch_query_keys(queries, qlens, key_words)
 
-    r_lo, r_up = _fence_ranks_both(fk, qk, qk_hi)
+    stride = 1 if pk_block is None else pk_block.shape[2]
+
+    r_lo, r_up = _fence_ranks_both(list(pk_fence), qk, qk_hi)
 
     if stride == 1:
         start = r_lo  # first rank with pk >= qk
@@ -236,8 +257,8 @@ def bounds_batch_merge(text, n_text, table, n_table, pk, pk_block,
     start = jnp.minimum(start, n_table)
     end = jnp.minimum(end, n_table)
 
-    if max_qlen > KEY_SYMS:
-        long_q = qlens > KEY_SYMS
+    if max_qlen > key_syms:
+        long_q = qlens > key_syms
 
         def refine(query, qlen, rs, re):
             return _refine_one(text, n_text, table, query, qlen, rs, re)

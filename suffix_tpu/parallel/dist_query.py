@@ -59,21 +59,28 @@ def _build_keys_shard(text: jax.Array, table_local: jax.Array,
         word_text = s2._pack3(s[3 * w], s[3 * w + 1], s[3 * w + 2])
         word = jnp.take(word_text, table_local)
         pk.append(jnp.where(mask_real, word, jnp.int32(s2.PAD_KEY)))
-    return tuple(pk)
+    # Fences + blocked layout, materialized once (strided extraction per
+    # batch costs ~25 ms/4M on v5e — see ops/search2.build_query_index).
+    stride = s2._fence_stride(n_local)
+    if stride > 1:
+        pk_fence = tuple(w[::stride] for w in pk)
+        pk_block = jnp.stack([w.reshape(-1, stride) for w in pk], axis=1)
+    else:
+        pk_fence = tuple(pk)
+        pk_block = jnp.stack([w.reshape(-1, 1) for w in pk], axis=1)
+    return pk_fence, pk_block
 
 
-def _local_below_counts(pk_local, qk, qk_hi, n_local: int):
+def _local_below_counts(pk_fence, pk_block, qk, qk_hi, n_local: int):
     """(lo, up): per-query counts of local keys < qk / <= qk_hi.
 
     The fence sort + one block row-gather, exactly the single-chip merge
     engine (ops/search2.py) applied to the local block.
     """
-    stride = s2._fence_stride(n_local)
-    fk = [w[::stride] for w in pk_local]
-    r_lo, r_up = s2._fence_ranks_both(fk, qk, qk_hi)
+    stride = pk_block.shape[2]
+    r_lo, r_up = s2._fence_ranks_both(list(pk_fence), qk, qk_hi)
     if stride == 1:
         return r_lo, r_up
-    pk_block = jnp.stack([w.reshape(-1, stride) for w in pk_local], axis=1)
     b_lo = jnp.maximum(r_lo - 1, 0)
     lo = b_lo * stride + s2._block_count(pk_block, b_lo, qk, less_equal=False)
     b_up = jnp.maximum(r_up - 1, 0)
@@ -135,11 +142,11 @@ def _refine_dist(text, n_text, table_local, queries, qlens, start, end,
     return s_lo, s_up
 
 
-def _bounds_shard(text, n_text, table_local, pk_local, queries, qlens,
-                  n_table, n_local: int, n_dev: int, max_qlen: int):
+def _bounds_shard(text, n_text, table_local, pk_fence, pk_block, queries,
+                  qlens, n_table, n_local: int, n_dev: int, max_qlen: int):
     """Per-device body: global (start, count) per query, replicated out."""
     qk, qk_hi = s2._batch_query_keys(queries, qlens)
-    lo, up = _local_below_counts(pk_local, qk, qk_hi, n_local)
+    lo, up = _local_below_counts(pk_fence, pk_block, qk, qk_hi, n_local)
     start = jax.lax.psum(lo, AXIS)
     end = jax.lax.psum(up, AXIS)
     start = jnp.minimum(start, n_table)
@@ -195,8 +202,9 @@ class ShardedQueryIndex:
         shard = NamedSharding(mesh, P(AXIS))
         self._text = jax.device_put(padded_text, rep)
         self._table = jax.device_put(padded_tab, shard)
-        self._pk = _keys_jit(self._text, self._table, jnp.int32(self.n),
-                             self.n_local, self.n_dev, mesh)
+        self._pk_fence, self._pk_block = _keys_jit(
+            self._text, self._table, jnp.int32(self.n),
+            self.n_local, self.n_dev, mesh)
 
     def bounds_batch(self, queries: np.ndarray, qlens: np.ndarray):
         """(start, count) arrays for a padded (Q, m) int batch."""
@@ -204,9 +212,10 @@ class ShardedQueryIndex:
         qlens = np.asarray(qlens, np.int32)
         max_qlen = int(queries.shape[1])
         start, count = _bounds_jit(
-            self._text, jnp.int32(self.n), self._table, self._pk,
-            jnp.asarray(queries), jnp.asarray(qlens), jnp.int32(self.n),
-            self.n_local, self.n_dev, max_qlen, self.mesh)
+            self._text, jnp.int32(self.n), self._table, self._pk_fence,
+            self._pk_block, jnp.asarray(queries), jnp.asarray(qlens),
+            jnp.int32(self.n), self.n_local, self.n_dev, max_qlen,
+            self.mesh)
         return np.asarray(start), np.asarray(count)
 
     def _encode(self, queries):
@@ -243,19 +252,19 @@ def _keys_jit(text, table, n_table, n_local: int, n_dev: int, mesh: Mesh):
     fn = functools.partial(_build_keys_shard, n_local=n_local)
     return jax.shard_map(
         fn, mesh=mesh, in_specs=(P(), P(AXIS), P()),
-        out_specs=(P(AXIS),) * s2.KEY_WORDS, check_vma=False,
+        out_specs=((P(AXIS),) * s2.KEY_WORDS, P(AXIS)), check_vma=False,
     )(text, table, n_table)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_local", "n_dev", "max_qlen", "mesh"))
-def _bounds_jit(text, n_text, table, pk, queries, qlens, n_table,
-                n_local: int, n_dev: int, max_qlen: int, mesh: Mesh):
+def _bounds_jit(text, n_text, table, pk_fence, pk_block, queries, qlens,
+                n_table, n_local: int, n_dev: int, max_qlen: int, mesh: Mesh):
     fn = functools.partial(_bounds_shard, n_local=n_local, n_dev=n_dev,
                            max_qlen=max_qlen)
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), (P(AXIS),) * s2.KEY_WORDS,
+        in_specs=(P(), P(), P(AXIS), (P(AXIS),) * s2.KEY_WORDS, P(AXIS),
                   P(), P(), P()),
         out_specs=(P(), P()), check_vma=False,
-    )(text, n_text, table, pk, queries, qlens, n_table)
+    )(text, n_text, table, pk_fence, pk_block, queries, qlens, n_table)

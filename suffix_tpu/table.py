@@ -69,6 +69,7 @@ class SuffixTable:
         self._dev_text = None
         self._dev_table = None
         self._n_iters = None
+        self._pk_ext = None  # extended keys, built on first long-query batch
 
     # ----------------------------------------------------------------- build
 
@@ -195,7 +196,8 @@ class SuffixTable:
         # Query accelerators: packed prefix keys + 2-symbol LUT.
         from suffix_tpu.ops import search2
 
-        self._pk, self._pk_block, self._lut = search2.build_query_index(
+        (self._pk, self._pk_fence, self._pk_block,
+         self._lut) = search2.build_query_index(
             self._dev_text, self._dev_table, jnp.int32(n)
         )
 
@@ -226,9 +228,23 @@ class SuffixTable:
         full_lens[:nq] = qlens
         from suffix_tpu.ops import search2
 
+        pk_fence, pk_block = self._pk_fence, self._pk_block
+        if int(qlens.max(initial=0)) > search2.KEY_SYMS:
+            # Long patterns: widen the exact merge-join coverage to
+            # 3*EXT_KEY_WORDS bytes instead of probe-refining from 18.
+            # Built once per table, cached; beyond the extended coverage
+            # the byte refine still applies.
+            if self._pk_ext is None:
+                (self._pk_ext, self._pk_fence_ext, self._pk_block_ext,
+                 _) = search2.build_query_index(
+                    self._dev_text, self._dev_table, jnp.int32(len(self)),
+                    key_words=search2.EXT_KEY_WORDS,
+                )
+            pk_fence, pk_block = self._pk_fence_ext, self._pk_block_ext
+
         starts, counts = search2.bounds_batch_merge(
             self._dev_text, jnp.int32(len(self)), self._dev_table,
-            jnp.int32(len(self)), self._pk, self._pk_block,
+            jnp.int32(len(self)), pk_fence, pk_block,
             jnp.asarray(full_q), jnp.asarray(full_lens),
             self._n_iters, m_pad,
         )

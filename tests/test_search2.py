@@ -29,12 +29,12 @@ def both_engines(text: bytes, queries):
 
     v1 = s1.bounds_batch(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
                          q_dev, qlens_dev, n_iters)
-    pk, pk_block, lut = s2.build_query_index(t_dev, tab_dev, jnp.int32(n))
+    pk, pk_fence, pk_block, lut = s2.build_query_index(t_dev, tab_dev, jnp.int32(n))
     v2 = s2.bounds_batch_fast(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
                               pk[0], pk[1], lut, q_dev, qlens_dev,
                               n_iters, q.shape[1])
     v3 = s2.bounds_batch_merge(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
-                               pk, pk_block, q_dev, qlens_dev, n_iters,
+                               pk_fence, pk_block, q_dev, qlens_dev, n_iters,
                                q.shape[1])
     v1 = tuple(np.asarray(x) for x in v1)
     v3 = tuple(np.asarray(x) for x in v3)
@@ -131,10 +131,10 @@ def test_merge_engine_agrees():
             q, qlens = s1_.pack_queries(queries)
             v1 = s1_.bounds_batch(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
                                   jnp.asarray(q), jnp.asarray(qlens), n_iters)
-            pk, pk_block, _ = s2_.build_query_index(t_dev, tab_dev,
-                                                    jnp.int32(n))
+            pk, pk_fence, pk_block, _ = s2_.build_query_index(
+                t_dev, tab_dev, jnp.int32(n))
             v3 = s2_.bounds_batch_merge(t_dev, jnp.int32(n), tab_dev,
-                                        jnp.int32(n), pk, pk_block,
+                                        jnp.int32(n), pk_fence, pk_block,
                                         jnp.asarray(q), jnp.asarray(qlens),
                                         n_iters, q.shape[1])
             s1a, c1 = (np.asarray(x) for x in v1)
@@ -142,3 +142,25 @@ def test_merge_engine_agrees():
             assert np.array_equal(c1, c3), (text, c1, c3)
             live = c1 > 0
             assert np.array_equal(s1a[live], s3a[live]), text
+
+
+def test_extended_keys_long_patterns(rng):
+    """Patterns in (18, 36] resolve exactly via EXT_KEY_WORDS wide keys
+    (no byte refine), and > 36 still refines — all identical to the
+    reference's match_indices semantics through the public table API."""
+    from suffix_tpu.ops import search2
+
+    base = b"abracadabra_" * 60  # period 12: long repeated prefixes
+    data = base + bytes(rng.integers(0, 256, size=300, dtype=np.uint8))
+    st_ = SuffixTable.new(data)
+    assert st_._pk_ext is None
+    queries = [data[5:5 + 19], data[0:24], data[12:12 + 36],
+               data[3:3 + 35], b"zz" * 10, data[700:700 + 30],
+               data[2:2 + 50], b"abracadabra_abracadabra_abracadabra_"]
+    got = st_.positions_batch(queries)
+    assert st_._pk_ext is not None  # the wide-key path was taken
+    for q, g in zip(queries, got):
+        expected = sorted(
+            i for i in range(len(data) - len(q) + 1)
+            if data[i:i + len(q)] == q)
+        assert sorted(g.tolist()) == expected, q[:20]
