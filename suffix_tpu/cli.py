@@ -30,7 +30,24 @@ def _cmd_build(args) -> int:
         print(f"error: cannot read {args.file}: {e.strerror}", file=sys.stderr)
         return 1
     t0 = time.perf_counter()
-    st = SuffixTable.new(data)
+    if args.engine == "sharded":
+        from suffix_tpu.parallel.dist_build import (
+            suffix_array_sharded, suffix_array_sharded_stepped)
+        from suffix_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
+        if args.checkpoint:
+            sa = suffix_array_sharded_stepped(
+                data, mesh, checkpoint_path=args.checkpoint,
+                resume=args.resume)
+        else:
+            sa = suffix_array_sharded(args.file, mesh)  # streamed from mmap
+        st = SuffixTable.from_parts(data, sa)
+    elif args.engine == "naive":
+        st = SuffixTable.new_naive(data)
+    else:
+        st = SuffixTable.new(data, engine=args.engine,
+                             index_dtype=args.index_dtype)
     dt = time.perf_counter() - t0
     print(f"Suffixes: {st.len()}")
     if args.verbose:
@@ -69,6 +86,12 @@ def _cmd_search(args) -> int:
     else:
         print("error: search requires --file or --index", file=sys.stderr)
         return 2
+    if args.sharded:
+        from suffix_tpu.parallel.dist_query import ShardedQueryIndex
+        from suffix_tpu.parallel.mesh import make_mesh
+
+        st = ShardedQueryIndex(st.text_bytes(), make_mesh(args.devices),
+                               sa=st.table())
     queries = args.query
     if args.queries_file:
         with open(args.queries_file) as f:
@@ -100,6 +123,18 @@ def main(argv=None) -> int:
     b.add_argument("file")
     b.add_argument("-o", "--output", help="save the index (npz checkpoint)")
     b.add_argument("-v", "--verbose", action="store_true")
+    b.add_argument("-e", "--engine", default="device",
+                   choices=["device", "sais", "native", "naive", "sharded"],
+                   help="construction engine (sharded = all mesh devices)")
+    b.add_argument("--devices", type=int, default=None,
+                   help="mesh size for --engine sharded (default: all)")
+    b.add_argument("--checkpoint",
+                   help="sharded: persist per-round state for elastic restart")
+    b.add_argument("--resume", action="store_true",
+                   help="sharded: resume from --checkpoint if present")
+    b.add_argument("--index-dtype", default="u32",
+                   choices=["u32", "u64", "auto"],
+                   help="u64 lifts the 2^31-byte cap (needs jax_enable_x64)")
     b.set_defaults(fn=_cmd_build)
 
     s = sub.add_parser("stree", help="print a suffix tree as GraphViz dot")
@@ -110,6 +145,10 @@ def main(argv=None) -> int:
     q.add_argument("--file", help="text file to index")
     q.add_argument("--index", help="pre-built index checkpoint (npz)")
     q.add_argument("--queries-file", help="file with one query per line")
+    q.add_argument("--sharded", action="store_true",
+                   help="serve from a mesh-sharded index (index > 1 chip)")
+    q.add_argument("--devices", type=int, default=None,
+                   help="mesh size for --sharded (default: all)")
     q.add_argument("query", nargs="*")
     q.set_defaults(fn=_cmd_search)
 
