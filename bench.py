@@ -59,7 +59,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from suffix_tpu.ops.padding import PAD, bucket_size
-    from suffix_tpu.ops.prefix_doubling import _suffix_array_padded
+    from suffix_tpu.ops.prefix_doubling import (_suffix_array_padded,
+                                                 pick_init_words)
     from suffix_tpu.ops import search2 as search_ops
 
     detail = {"device": str(jax.devices()[0])}
@@ -88,8 +89,10 @@ def main() -> None:
     pad[: len(fixture)] = np.frombuffer(fixture, np.uint8)
     t_fix = jnp.asarray(pad)
     sync(t_fix)
-    sync(_suffix_array_padded(t_fix))
-    dt_fix = _throughput_time(lambda: _suffix_array_padded(t_fix), sync)
+    iw_fix = pick_init_words(n_fix)
+    sync(_suffix_array_padded(t_fix, iw_fix))
+    dt_fix = _throughput_time(lambda: _suffix_array_padded(t_fix, iw_fix),
+                              sync)
     detail["construct_100KB_fixture_s"] = round(dt_fix, 4)
     detail["construct_100KB_fixture_MBps"] = round(len(fixture) / dt_fix / 1e6, 2)
 
@@ -129,7 +132,7 @@ def main() -> None:
     # with a 14-char matching pattern on the 100 KB DNA index (228 ns =>
     # 4.39M queries/s hot-cache, single query at a time).
     n_fix_real = len(fixture)
-    sa_fix = _suffix_array_padded(t_fix)
+    sa_fix = _suffix_array_padded(t_fix, iw_fix)
     sync(sa_fix)
     tab_fix = sa_fix.astype(jnp.int32)
     _pkf, pkf_fence, pkb_f, _ = search_ops.build_query_index(
