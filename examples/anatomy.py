@@ -1,4 +1,6 @@
 """Anatomy of a suffix table — the reference's examples/anatomy.rs."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from suffix_tpu import SuffixTable
 
 st = SuffixTable.new("the quick brown fox was quick.")

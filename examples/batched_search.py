@@ -1,4 +1,6 @@
 """TPU-native addition: thousands of patterns in one device dispatch."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from suffix_tpu import SuffixTable
 
