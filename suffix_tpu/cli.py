@@ -101,6 +101,35 @@ def _cmd_search(args) -> int:
     return 0
 
 
+def _cmd_info(args) -> int:
+    from suffix_tpu.utils.checkpoint import load_index
+
+    st = load_index(args.index)
+    lcp = st.lcp_lens()
+    n = st.len()
+    print(f"text bytes:   {n}")
+    print(f"suffixes:     {n}")
+    print(f"max lcp:      {int(lcp.max(initial=0))}")
+    print(f"mean lcp:     {float(lcp.mean()) if n else 0.0:.2f}")
+    # Distinct non-empty substrings = sum of (suffix length - lcp).
+    print(f"distinct substrings: {n * (n + 1) // 2 - int(lcp.sum())}")
+    return 0
+
+
+def _cmd_warmup(args) -> int:
+    from suffix_tpu.utils.warmup import warm
+
+    timings = warm(
+        args.size,
+        query_batches=tuple(int(x) for x in args.batches.split(",")),
+        query_lens=tuple(int(x) for x in args.qlens.split(",")),
+        lcp=not args.no_lcp,
+    )
+    total = sum(dt for _, dt in timings)
+    print(f"warmed {len(timings)} programs in {total:.1f}s")
+    return 0
+
+
 def _apply_platform(platform: str | None) -> None:
     """Pin the JAX platform (some TPU plugins override JAX_PLATFORMS env)."""
     platform = platform or None
@@ -151,6 +180,21 @@ def main(argv=None) -> int:
                    help="mesh size for --sharded (default: all)")
     q.add_argument("query", nargs="*")
     q.set_defaults(fn=_cmd_search)
+
+    i = sub.add_parser("info", help="statistics of a saved index")
+    i.add_argument("index", help="index checkpoint (npz)")
+    i.set_defaults(fn=_cmd_info)
+
+    w = sub.add_parser("warmup",
+                       help="pre-compile the serving pipeline for a size")
+    w.add_argument("--size", type=int, required=True,
+                   help="corpus size in bytes (shapes bucket to pow2)")
+    w.add_argument("--batches", default="4096,65536",
+                   help="query batch sizes, comma-separated")
+    w.add_argument("--qlens", default="16",
+                   help="padded query lengths, comma-separated")
+    w.add_argument("--no-lcp", action="store_true")
+    w.set_defaults(fn=_cmd_warmup)
 
     args = p.parse_args(argv)
     _apply_platform(args.platform)

@@ -51,12 +51,14 @@ def _lcp_padded(text: jax.Array, n_text: jax.Array, table: jax.Array,
         wb = gather(a.astype(jnp.int32), offs + off)
         # Mismatch also triggers at text end (PAD != real byte); two PADs
         # only coincide when both suffixes ended, which cannot happen for
-        # distinct suffixes before a mismatch.
+        # distinct suffixes before a mismatch. The off < n_text guard
+        # bounds the loop even on contract-violating inputs (duplicate
+        # table entries), whose windows never mismatch.
         eq = wa == wb
         # Count of equal leading bytes in this window.
         run = jnp.cumprod(eq.astype(jnp.int32), axis=1).sum(axis=1)
         lcp = jnp.where(active, lcp + run, lcp)
-        active = active & (run == block)
+        active = active & (run == block) & (off + block < n_text)
         return lcp, active, off + block
 
     idx = jnp.arange(n_pad, dtype=jnp.int32)
@@ -145,7 +147,8 @@ def _lcp_keyed(text: jax.Array, n_text: jax.Array, table: jax.Array,
             eq = wa == wb
             run = jnp.cumprod(eq.astype(jnp.int32), axis=1).sum(axis=1)
             l = jnp.where(active, l + run, l)
-            active = active & (run == block)
+            # off guard: terminate even on duplicate table entries.
+            active = active & (run == block) & (off + block < n_text)
             return l, active, off + block
 
         cl, _, _ = jax.lax.while_loop(

@@ -16,7 +16,16 @@ AXIS = "d"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+    """1-D mesh over the first ``n_devices`` devices, host-major order.
+
+    Host-major ordering matters on multi-host pods: the bitonic
+    merge-split network (parallel/dist_build.py) exchanges with partners
+    at stride s, and strides smaller than the per-host device count occur
+    log-many more times than larger ones — with host-major order those
+    frequent exchanges ride ICI and only the rare large-stride stages
+    cross DCN.
+    """
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     if n_devices is not None:
         if n_devices > len(devs):
             raise ValueError(f"requested {n_devices} devices, have {len(devs)}")

@@ -1,0 +1,88 @@
+"""Ahead-of-time compile warming.
+
+TPU compiles for the sort-heavy programs take minutes through a remote
+tunnel; the persistent compilation cache (utils/platform.py) makes them
+one-time — but something has to pay that first time. This tool walks a
+deployment's shape set (construction, query engine, LCP) and compiles
+everything up front, so serving processes and benchmarks only ever hit
+the cache.
+
+Shapes are the same power-of-two buckets the library itself uses
+(ops/padding.py), so warmed programs are exactly the ones production
+dispatches.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def warm(n_bytes: int,
+         query_batches: tuple[int, ...] = (4096, 65536),
+         query_lens: tuple[int, ...] = (16,),
+         lcp: bool = True,
+         verbose: bool = True) -> list[tuple[str, float]]:
+    """Compile the full serving pipeline for a corpus of ``n_bytes``.
+
+    Returns [(program, seconds)] for each warmed program.
+    """
+    import jax.numpy as jnp
+
+    from suffix_tpu.ops import search2
+    from suffix_tpu.ops.padding import PAD, bucket_size
+    from suffix_tpu.ops.prefix_doubling import (_suffix_array_padded,
+                                                pick_init_words)
+    from suffix_tpu.utils.platform import setup_compilation_cache, sync
+
+    setup_compilation_cache()
+    timings: list[tuple[str, float]] = []
+
+    def step(name, fn):
+        t0 = time.perf_counter()
+        sync(fn())
+        dt = time.perf_counter() - t0
+        timings.append((name, dt))
+        if verbose:
+            print(f"  warmed {name}: {dt:.1f}s", flush=True)
+
+    n_pad = bucket_size(max(n_bytes, 1))
+    rng = np.random.default_rng(0)
+    padded = np.full((n_pad,), PAD, np.int32)
+    padded[:n_bytes] = rng.integers(0, 256, size=n_bytes, dtype=np.uint8)
+    t_dev = jnp.asarray(padded)
+    sync(t_dev)
+
+    iw = pick_init_words(n_pad)
+    step(f"build n={n_pad} (init_words={iw})",
+         lambda: _suffix_array_padded(t_dev, iw))
+    # Query/LCP programs take the REAL table layout: sa[0:n) = suffix
+    # array, zero-filled past n (padding suffixes sliced off).
+    sa_full = np.asarray(_suffix_array_padded(t_dev, iw))
+    tab = np.zeros((n_pad,), np.int32)
+    tab[:n_bytes] = sa_full[n_pad - n_bytes:]
+    sa = jnp.asarray(tab)
+
+    step(f"query_index n={n_pad}",
+         lambda: search2.build_query_index(t_dev, sa, jnp.int32(n_bytes))[0])
+    _pk, pk_fence, pk_block, _ = search2.build_query_index(
+        t_dev, sa, jnp.int32(n_bytes))
+
+    n_iters = (n_pad + 1).bit_length()
+    for q_pad in query_batches:
+        for m_pad in query_lens:
+            q = jnp.zeros((q_pad, m_pad), jnp.int32)
+            ql = jnp.ones((q_pad,), jnp.int32)
+            step(f"queries q={q_pad} m={m_pad} n={n_pad}",
+                 lambda q=q, ql=ql, m=m_pad: search2.bounds_batch_merge(
+                     t_dev, jnp.int32(n_bytes), sa, jnp.int32(n_bytes),
+                     pk_fence, pk_block, q, ql, n_iters, m)[0])
+
+    if lcp:
+        from suffix_tpu.ops.lcp import _lcp_keyed
+
+        step(f"lcp n={n_pad}",
+             lambda: _lcp_keyed(t_dev, jnp.int32(n_bytes), sa,
+                                jnp.int32(n_bytes), tuple(_pk)))
+    return timings
