@@ -27,7 +27,7 @@ class MultiDocIndex:
 
     SEPARATOR = b"\x00"
 
-    def __init__(self, docs: Sequence, *, build: bool = True):
+    def __init__(self, docs: Sequence, *, build: bool = True, mesh=None):
         self._was_str = [isinstance(d, str) for d in docs]
         self._docs = [_as_bytes(d)[0] for d in docs]
         for d in self._docs:
@@ -43,7 +43,14 @@ class MultiDocIndex:
             starts.append(starts[-1] + len(d) + 1)
         self._starts = np.asarray(starts, dtype=np.int64)
         self._ends = self._starts + np.asarray([len(d) for d in self._docs], dtype=np.int64)
-        self._st = SuffixTable.new(joined) if build else None
+        if build and mesh is not None:
+            # Corpus larger than one chip: collective construction.
+            from suffix_tpu.parallel.dist_build import suffix_array_sharded
+
+            self._st = SuffixTable.from_parts(
+                joined, suffix_array_sharded(joined, mesh))
+        else:
+            self._st = SuffixTable.new(joined) if build else None
         self._joined = joined
 
     @property

@@ -49,3 +49,13 @@ def test_bytes_docs():
 def test_empty_docs():
     idx = MultiDocIndex(["", "a", ""])
     assert idx.positions("a") == [(1, 0)]
+
+
+def test_multidoc_sharded_mesh():
+    from suffix_tpu.parallel.mesh import make_mesh
+
+    docs = ["the quick fox", "a lazy dog", "quick quick"]
+    ref = MultiDocIndex(docs)
+    got = MultiDocIndex(docs, mesh=make_mesh(8))
+    for q in ["quick", "dog", "zebra", "q"]:
+        assert got.positions(q) == ref.positions(q)
