@@ -167,6 +167,86 @@ def _bounds_shard(text, n_text, table_local, pk_fence, pk_block, queries,
     return start, count
 
 
+def _lcp_shard(text, n_text, table_local, pk_block, n_table,
+               n_local: int, n_dev: int, block: int = 128):
+    """Per-device LCP slice (under shard_map), keyed like ops/lcp.py.
+
+    Adjacent ranks live in adjacent local slots except each device's rank
+    0, whose predecessor is the left neighbor's last rank — one ppermute
+    per packed word (and one for the table entry) covers the seam. The
+    packed words are recovered from the blocked key layout for free.
+    """
+    me = jax.lax.axis_index(AXIS)
+    lidx = jnp.arange(n_local, dtype=jnp.int32)
+    grank = me * n_local + lidx
+    valid = (grank > 0) & (grank < n_table)
+
+    def left_of(x, fill):
+        if n_dev == 1:
+            incoming = jnp.full((1,), fill, x.dtype)
+        else:
+            perm = [(j, j + 1) for j in range(n_dev - 1)]
+            incoming = jax.lax.ppermute(x[-1:], AXIS, perm)
+            incoming = jnp.where(me == 0, jnp.full((1,), fill, x.dtype),
+                                 incoming)
+        return jnp.concatenate([incoming, x[:-1]])
+
+    words = [pk_block[:, w, :].reshape(-1) for w in range(s2.KEY_WORDS)]
+    lcp = jnp.zeros((n_local,), jnp.int32)
+    undecided = valid
+    for word in words:
+        prev = left_of(word, s2.PAD_KEY)
+        eq_word = word == prev
+        s_cur = [(word >> (18 - 9 * j)) & 0x1FF for j in range(3)]
+        s_prv = [(prev >> (18 - 9 * j)) & 0x1FF for j in range(3)]
+        within = jnp.where(
+            s_cur[0] != s_prv[0], 0, jnp.where(s_cur[1] != s_prv[1], 1, 2)
+        )
+        matched = jnp.where(eq_word, 3, within)
+        lcp = jnp.where(undecided, lcp + matched, lcp)
+        undecided = undecided & eq_word
+    # Survivors (pairs equal through all packed symbols): windowed byte
+    # compare against the replicated text, lockstep until all resolve.
+    a = table_local
+    prev_t = left_of(table_local, 0)
+    offs = jnp.arange(block, dtype=jnp.int32)
+
+    def gather_rows(base, off):
+        pos = base[:, None] + off[None, :]
+        w = jnp.take(text, pos, mode="fill", fill_value=-1)
+        return jnp.where(pos < n_text, w, -1)
+
+    def cond(state):
+        _, active, _ = state
+        return jnp.any(active)
+
+    def body(state):
+        l, active, off = state
+        wa = gather_rows(prev_t.astype(jnp.int32), offs + off)
+        wb = gather_rows(a.astype(jnp.int32), offs + off)
+        eq = wa == wb
+        run = jnp.cumprod(eq.astype(jnp.int32), axis=1).sum(axis=1)
+        l = jnp.where(active, l + run, l)
+        active = active & (run == block) & (off + block < n_text)
+        return l, active, off + block
+
+    lcp, _, _ = jax.lax.while_loop(
+        cond, body, (lcp, undecided, jnp.int32(3 * s2.KEY_WORDS))
+    )
+    return jnp.where(valid, lcp, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))
+def _lcp_jit(text, n_text, table, pk_block, n_table, n_local: int,
+             n_dev: int, mesh: Mesh):
+    fn = functools.partial(_lcp_shard, n_local=n_local, n_dev=n_dev)
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
+        out_specs=P(AXIS), check_vma=False,
+    )(text, n_text, table, pk_block, n_table)
+
+
 class ShardedQueryIndex:
     """Serve positions()/contains()/count() from a mesh-sharded index.
 
@@ -227,6 +307,18 @@ class ShardedQueryIndex:
         for i, q in enumerate(qb):
             out[i, :len(q)] = q
         return out, np.array([len(q) for q in qb], np.int32)
+
+    def lcp_lens(self) -> np.ndarray:
+        """LCP array (uint32), computed across the mesh.
+
+        Same definition as SuffixTable.lcp_lens (src/table.rs:348-361);
+        adjacent-rank pairs resolve from the sharded packed keys, seam
+        pairs via one neighbor ppermute per word.
+        """
+        out = _lcp_jit(self._text, jnp.int32(self.n), self._table,
+                       self._pk_block, jnp.int32(self.n), self.n_local,
+                       self.n_dev, self.mesh)
+        return np.asarray(out)[:self.n].astype(np.uint32)
 
     def positions_batch(self, queries) -> list[np.ndarray]:
         q, ql = self._encode(queries)

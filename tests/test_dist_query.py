@@ -80,3 +80,17 @@ def test_build_from_scratch(mesh):
     for q in ["issi", "mississippi", "delta", "x", "i"]:
         assert idx.positions(q).tolist() == st.positions(q).tolist()
         assert idx.count_batch([q])[0] == len(st.positions(q))
+
+
+def test_sharded_lcp(mesh, rng):
+    data = (b"abracadabra" * 30) + rng.integers(
+        0, 256, size=500, dtype=np.uint8).tobytes()
+    st = SuffixTable.new(data)
+    idx = ShardedQueryIndex(data, mesh, sa=st.table())
+    assert np.array_equal(idx.lcp_lens(), st.lcp_lens())
+
+
+def test_sharded_lcp_banana(mesh):
+    st = SuffixTable.new("banana")
+    idx = ShardedQueryIndex(b"banana", mesh, sa=st.table())
+    assert idx.lcp_lens().tolist() == [0, 1, 3, 0, 0, 2]
