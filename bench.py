@@ -83,6 +83,21 @@ def main() -> None:
     detail["construct_4MiB_latency_s"] = round(
         _median_time(lambda: sync(_suffix_array_padded(t_dev))), 4)
 
+    # --- same-machine CPU baseline (north-star ratio) --------------------
+    # BASELINE.md's 13.3 MB/s is the reference's unknown machine; the
+    # honest "10x over single-core CPU SA-IS at 1 chip" comparison is our
+    # own linear-time C++ SA-IS (suffix_tpu/native) on THIS host's CPU.
+    try:
+        from suffix_tpu import native
+
+        t0 = time.perf_counter()
+        native.sais(corpus.astype(np.uint8).tobytes())
+        cpu_mbps = n / (time.perf_counter() - t0) / 1e6
+        detail["native_cpu_sais_MBps"] = round(cpu_mbps, 2)
+        detail["vs_native_cpu_sais"] = round(mbps / cpu_mbps, 1)
+    except Exception as e:  # native lib not built on this host
+        detail["native_cpu_sais_MBps"] = f"unavailable: {e}"
+
     # --- 100 KB fixture (direct comparison point) ------------------------
     n_fix = bucket_size(len(fixture))
     pad = np.full(n_fix, PAD, np.int32)
