@@ -116,9 +116,11 @@ def _lcp_keyed(text: jax.Array, n_text: jax.Array, table: jax.Array,
     offs = jnp.arange(block, dtype=jnp.int32)
 
     not_surv = jnp.where(undecided, 0, 1).astype(jnp.int32)
+    # Unstable: lanes refine independently, so the order within the
+    # survivor/non-survivor groups is irrelevant; perm un-permutes later.
     _, p_a, p_prev, p_lcp, p_active, perm = jax.lax.sort(
         (not_surv, a, prev_t, lcp, undecided.astype(jnp.int32), idx),
-        num_keys=1,
+        num_keys=1, is_stable=False,
     )
 
     cap = min(n_pad, 8192)
@@ -158,7 +160,7 @@ def _lcp_keyed(text: jax.Array, n_text: jax.Array, table: jax.Array,
 
     lcp_perm = jax.lax.fori_loop(0, n_chunks, chunk_step, p_lcp)
     # Un-permute: key-sort by the original index.
-    _, lcp = jax.lax.sort((perm, lcp_perm), num_keys=1)
+    _, lcp = jax.lax.sort((perm, lcp_perm), num_keys=1, is_stable=False)
     return jnp.where(valid | (idx == 0), lcp, 0)
 
 

@@ -70,8 +70,11 @@ def _invert_permutation(sa: jax.Array, values: jax.Array) -> jax.Array:
 
     On TPU a single-key sort with payload is measurably faster than the
     equivalent random scatter (sorts stream memory; scatters don't).
+    ``sa`` is a permutation (all keys distinct), so the sort need not be
+    stable — is_stable=False saves ~20% (measured 15.8 -> 12.6 ms/4M on
+    3-operand sorts).
     """
-    _, out = jax.lax.sort((sa, values), num_keys=1)
+    _, out = jax.lax.sort((sa, values), num_keys=1, is_stable=False)
     return out
 
 
@@ -104,7 +107,10 @@ def _suffix_array_padded(text: jax.Array,
     # feeds the first quadrupling round only — skip it when the initial
     # sort already separated every suffix.
     words = _initial_words(text, init_words)
-    sorted_ops = jax.lax.sort(tuple(words) + (idx,), num_keys=init_words + 1)
+    # idx participates as the last key: a total order, so stability is
+    # redundant comparator cost (is_stable=False measured ~3 ms/4M less).
+    sorted_ops = jax.lax.sort(tuple(words) + (idx,), num_keys=init_words + 1,
+                              is_stable=False)
     sa0 = sorted_ops[-1]
     diff0 = sorted_ops[0][1:] != sorted_ops[0][:-1]
     for col in sorted_ops[1:init_words]:
@@ -140,7 +146,7 @@ def _suffix_array_padded(text: jax.Array,
         # ties are still-equal prefixes whose relative order is
         # irrelevant until a later round separates them.
         r1, r2, r3, r4, sa = jax.lax.sort(
-            (rank, s1, s2, s3, idx), num_keys=5
+            (rank, s1, s2, s3, idx), num_keys=5, is_stable=False
         )
         diff = (
             (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])

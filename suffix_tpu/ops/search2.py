@@ -147,7 +147,10 @@ def _fence_ranks_both(fk: list, qk: list, qk_hi: list):
         jnp.arange(n_q, dtype=jnp.int32),
         (2 << 28) + jnp.arange(n_q, dtype=jnp.int32),
     ])
-    out_ops = jax.lax.sort(tuple(ks) + (code,), num_keys=len(ks) + 1)
+    # Unstable: queries have distinct codes; equal-key fences share one
+    # code but only their count is read, never their internal order.
+    out_ops = jax.lax.sort(tuple(ks) + (code,), num_keys=len(ks) + 1,
+                           is_stable=False)
     scode = out_ops[-1]
     tie = scode >> 28
     is_fence = (tie == 1).astype(jnp.int32)

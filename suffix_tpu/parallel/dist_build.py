@@ -50,7 +50,10 @@ def _bitonic_global_sort(arrays, num_keys: int, n_local: int, n_dev: int):
     input; keys may repeat (add a unique tie-break operand for full
     determinism).
     """
-    arrays = list(jax.lax.sort(tuple(arrays), num_keys=num_keys))
+    # Callers always include a globally-unique operand (gidx) in the
+    # keys, so the sorts need not be stable (~20% cheaper, measured).
+    arrays = list(jax.lax.sort(tuple(arrays), num_keys=num_keys,
+                               is_stable=False))
     if n_dev == 1:
         return arrays
     me = jax.lax.axis_index(AXIS)
@@ -62,7 +65,7 @@ def _bitonic_global_sort(arrays, num_keys: int, n_local: int, n_dev: int):
             partner = [jax.lax.ppermute(a, AXIS, perm) for a in arrays]
             merged = jax.lax.sort(
                 tuple(jnp.concatenate([a, pa]) for a, pa in zip(arrays, partner)),
-                num_keys=num_keys,
+                num_keys=num_keys, is_stable=False,
             )
             up = (me & size) == 0
             am_low = (me & stride) == 0
