@@ -42,6 +42,17 @@ from suffix_tpu.ops.padding import PAD
 from suffix_tpu.parallel.mesh import AXIS
 
 
+def _check_pow2(mesh: Mesh) -> int:
+    """The bitonic merge-split network pairs partners by j ^ stride, which
+    is only a permutation for power-of-two device counts; anything else
+    would silently drop exchanges."""
+    n_dev = int(mesh.devices.size)
+    if n_dev & (n_dev - 1):
+        raise ValueError(
+            f"sharded construction needs a power-of-two device count, got "
+            f"{n_dev}; use make_mesh(n) with the largest power of two")
+    return n_dev
+
 def _bitonic_global_sort(arrays, num_keys: int, n_local: int, n_dev: int):
     """Sort distributed arrays globally (ascending across the mesh).
 
@@ -270,7 +281,7 @@ def suffix_array_sharded(data: bytes | np.ndarray | str,
     n = int(arr.shape[0])
     if n == 0:
         return np.empty((0,), dtype=np.uint32)
-    n_dev = mesh.devices.size
+    n_dev = _check_pow2(mesh)
     # Local shard >= 8 keeps degenerate tiny shapes out of the kernels.
     n_local = max(8, -(-n // n_dev))
     n_total = n_local * n_dev
@@ -305,7 +316,7 @@ def suffix_array_sharded_stepped(
     n = int(arr.shape[0])
     if n == 0:
         return np.empty((0,), dtype=np.uint32)
-    n_dev = mesh.devices.size
+    n_dev = _check_pow2(mesh)
     n_local = max(8, -(-n // n_dev))
     n_total = n_local * n_dev
     shard = NamedSharding(mesh, P(AXIS))

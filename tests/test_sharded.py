@@ -130,3 +130,11 @@ def test_collective_bins(rng):
     assert np.array_equal(c, np.asarray(c1))
     assert np.array_equal(h, np.asarray(h1))
     assert np.array_equal(t, np.asarray(t1))
+
+
+def test_non_pow2_mesh_rejected():
+    import pytest
+
+    mesh = make_mesh(6)
+    with pytest.raises(ValueError, match="power-of-two"):
+        suffix_array_sharded(b"banana", mesh)
