@@ -5,10 +5,11 @@ engineered for device throughput — no per-probe gather chains in the hot
 path:
 
 1. **Packed prefix keys** (built once per index): for every rank r, the
-   first 12 bytes of its suffix packed as four int32 words of three 9-bit
+   first 18 bytes of its suffix packed as six int32 words of three 9-bit
    symbols each (symbol = byte+1, 0 = past-the-end — the same sentinel
-   encoding as construction). Key order == suffix order for the first 12
-   bytes.
+   encoding as construction); batches containing longer patterns widen to
+   12 words (36 bytes) on demand. Key order == suffix order through the
+   packed depth.
 2. **Merge-join bounds**: because query keys are zero-padded past qlen,
    the masked lower-bound comparison ``(pk & mask) < qk`` equals the
    unmasked ``pk < qk`` (extra suffix symbols only increase pk), and the
@@ -20,9 +21,9 @@ path:
    each query row's exclusive preceding-key count. For huge indexes the
    keys are strided ("fences") and one coalesced block count finishes the
    job.
-3. **Refine phase** (only when some query exceeds 12 bytes): windowed
-   byte comparison within the narrowed range, a lockstep ``while_loop``
-   that exits as soon as every lane converges.
+3. **Refine phase** (only when some query exceeds the packed depth):
+   windowed byte comparison within the narrowed range, a lockstep
+   ``while_loop`` that exits as soon as every lane converges.
 
 A probe-chain engine (``bounds_batch_fast``) is kept for cross-checking
 and latency-sensitive single queries. positions()/contains()/count()
@@ -234,16 +235,14 @@ def _refine_one(text, n_text, table, query, qlen, start, end):
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "max_qlen"))
 def bounds_batch_merge(text, n_text, table, n_table, pk_fence, pk_block,
-                       queries, qlens, n_iters: int, max_qlen: int,
-                       pk=None):
+                       queries, qlens, n_iters: int, max_qlen: int):
     """(start, count) per query via the merge-join engine.
 
     ``pk_fence``/``pk_block`` come precomputed from build_query_index.
     Exact for qlen <= 3*len(pk_fence); longer queries fall through to the
-    probe-refine phase on the key-equal range (``pk`` unused there — the
-    refine compares text bytes directly).
+    byte-refine phase on the key-equal range.
     """
-    del n_iters, pk
+    del n_iters
     key_words = len(pk_fence)
     key_syms = 3 * key_words
     qk, qk_hi = _batch_query_keys(queries, qlens, key_words)
