@@ -61,8 +61,9 @@ def _bitonic_global_sort(arrays, num_keys: int, n_local: int, n_dev: int):
     input; keys may repeat (add a unique tie-break operand for full
     determinism).
     """
-    # Callers always include a globally-unique operand (gidx) in the
-    # keys, so the sorts need not be stable (~20% cheaper, measured).
+    # Unstable sorts (~20% cheaper, measured): callers include a unique
+    # tie-break operand in the keys, which the merge-split consistency
+    # argument REQUIRES (see _round_body).
     arrays = list(jax.lax.sort(tuple(arrays), num_keys=num_keys,
                                is_stable=False))
     if n_dev == 1:
@@ -180,6 +181,11 @@ def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
     s2 = _halo_fetch(rank_home, 2 * k, n_local, n_dev)
     s3 = _halo_fetch(rank_home, 3 * k, n_local, n_dev)
 
+    # gidx MUST be a key here (unlike the single-chip engine): in the
+    # merge-split stages each device merges [mine ++ partner's] while the
+    # partner merges [partner's ++ mine]; with tied keys the two merged
+    # orders differ unless the key set is a total order, and the low/high
+    # split would then drop/duplicate elements.
     r, c1, c2, c3, idx = _bitonic_global_sort(
         [rank_home, s1, s2, s3, gidx], num_keys=5,
         n_local=n_local, n_dev=n_dev,
