@@ -97,6 +97,21 @@ class SuffixTree:
     def from_suffix_table(cls, sa: SuffixTable) -> "SuffixTree":
         return _to_suffix_tree(sa)
 
+    @classmethod
+    def from_sharded(cls, idx) -> "SuffixTree":
+        """Tree from a mesh-sharded index (parallel/dist_query.py).
+
+        The SA and the LCP array are produced by the collective engines
+        (the LCP never touches a single chip); only the linear host fold
+        (suffix_tree/src/lib.rs:392-505) runs here.
+        """
+        import numpy as np
+
+        text = np.asarray(idx._text)[:idx.n].astype(np.uint8).tobytes()
+        st = SuffixTable.from_parts(text, idx._sa_host)
+        st._lcp_override = idx.lcp_lens()
+        return _to_suffix_tree(st)
+
     def text(self):
         return self._raw.decode("utf-8") if self._was_str else self._raw
 
@@ -138,7 +153,9 @@ def _to_suffix_tree(sa: SuffixTable) -> SuffixTree:
     raw = sa.text_bytes()
     n = len(sa)
     table = sa.table()
-    lcp_lens = sa.lcp_lens()
+    lcp_lens = getattr(sa, "_lcp_override", None)
+    if lcp_lens is None:
+        lcp_lens = sa.lcp_lens()
     root = Node(0, 0, suffixes=[n])
     st = SuffixTree(raw, root, _was_str=isinstance(sa.text(), str))
     last = root

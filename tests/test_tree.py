@@ -55,3 +55,17 @@ def test_label_and_ancestors():
         if not node.is_root():
             assert node.path_len == node.parent.path_len + len(node)
             assert list(node.ancestors())[-1] is tree.root()
+
+
+def test_tree_from_sharded_index():
+    from suffix_tpu.parallel.dist_query import ShardedQueryIndex
+    from suffix_tpu.parallel.mesh import make_mesh
+
+    text = b"banana bandana"
+    ref = SuffixTree.new(text)
+    idx = ShardedQueryIndex(text, make_mesh(8))
+    got = SuffixTree.from_sharded(idx)
+    assert [n.suffixes for n in got.root().preorder()] == \
+           [n.suffixes for n in ref.root().preorder()]
+    assert list(got.root().suffix_indices()) == \
+           list(ref.root().suffix_indices())
