@@ -34,7 +34,7 @@ def _median_time(fn, n_iter=3):
     return float(np.median(times))
 
 
-def _throughput_time(dispatch, sync, n_iter=8):
+def _throughput_time(dispatch, sync, n_iter=16):
     """Amortized per-call device time: back-to-back dispatches, one sync.
 
     TPUs execute queued programs in order, so syncing the last result
