@@ -38,8 +38,18 @@ INIT_WORDS = 2  # initial sort orders by INIT_WORDS * 3 characters
 
 
 def pick_init_words(n_pad: int) -> int:
-    """Size-dependent initial sort width (see suffix_array_bytes)."""
-    return 4 if n_pad <= (1 << 20) else INIT_WORDS
+    """Size-dependent initial sort width.
+
+    Small builds (<= 1M): extra sort operands are ~free while a saved
+    round is a fixed ~1 ms (measured 8.05 vs 9.54 ms on the 100 KB
+    fixture). Mid sizes: 2 words win (39.1 vs 48.9 ms at 4 MiB — the
+    h-ladder 6->24 already clears the ~22-char max LCP of random text in
+    one round). Huge builds (>= 16M): expected max LCP of random text
+    (~2 log_sigma n) crosses 24, so the 12->48 ladder saves a whole
+    full-width round (measured 55.0 vs 39.2 MB/s at 128 MiB)."""
+    if n_pad <= (1 << 20) or n_pad >= (1 << 24):
+        return 4
+    return INIT_WORDS
 
 
 def _initial_words(text: jax.Array, init_words: int) -> list[jax.Array]:
