@@ -129,7 +129,7 @@ def main() -> None:
     sa_dev = jnp.asarray(np.asarray(sa).astype(np.int32))
     _pk, pk_fence, pk_block, _lut = search_ops.build_query_index(t_dev, sa_dev, jnp.int32(n))
     sync(_pk)
-    n_q = 65536
+    n_q = 262144  # bigger batches amortize the dispatch (9.9M vs 4.2M q/s)
     qlen = 14  # the reference's many-match bench pattern length
     starts = rng.integers(0, n - qlen, size=n_q)
     queries = np.stack([corpus[s : s + qlen] for s in starts]).astype(np.int32)

@@ -201,7 +201,9 @@ class SuffixTable:
             self._dev_text, self._dev_table, jnp.int32(n)
         )
 
-    MAX_QUERY_BATCH = 1 << 16  # queries per device dispatch
+    # Bigger batches amortize the per-dispatch launch cost: measured
+    # 4.2M q/s at 64k vs 9.9M q/s at 256k per dispatch (4 MiB index).
+    MAX_QUERY_BATCH = 1 << 18  # queries per device dispatch
 
     def _bounds_batch(self, queries: Sequence) -> tuple[np.ndarray, np.ndarray]:
         """Vector of (start, count) rank bounds for a query batch.
