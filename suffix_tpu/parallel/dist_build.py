@@ -106,41 +106,53 @@ def _left_boundary(x: jax.Array, n_dev: int, fill) -> jax.Array:
     return jnp.concatenate([incoming, x[:-1]])
 
 
-def _halo_fetch(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
-    """second[i] = rank_global[gidx[i] + k], -1 past the global end.
+def _halo_fetch3(rank_home: jax.Array, k: jax.Array, n_local: int,
+                 n_dev: int):
+    """(rank[i+k], rank[i+2k], rank[i+3k]) per device, -1 past the end.
 
-    The window [gidx + k, gidx + k + L) spans at most two device blocks,
-    s = k // L and s + 1 to the right. Because ``k`` is a traced value
-    (it lives inside the doubling while_loop) the block shift cannot be a
-    single static ``ppermute``; instead the shift is applied bit by bit —
-    log2(D) unconditional neighbor ``ppermute``s, each kept or discarded by
-    the matching bit of ``s``. Per-device comm is O(L log D) and memory is
-    O(L), replacing the earlier all_gather'd replicated rank vector
-    (O(n) per device) that capped corpus size at replicated-HBM.
+    Each window [gidx + mk, gidx + mk + L) spans at most two device
+    blocks, s = mk // L and s + 1. Because ``k`` is a traced value (it
+    lives inside the doubling while_loop) the block shift cannot be a
+    single static ``ppermute``; instead the shift is applied bit by bit,
+    each stage kept or discarded per row by the matching bit of s. Per-
+    device comm is O(L log D) and memory O(L), replacing the earlier
+    all_gather'd replicated rank vector (O(n) per device) that capped
+    corpus size at replicated-HBM.
     """
+    ks = jnp.stack([k, 2 * k, 3 * k])  # the three quadrupling shifts
+    n_shift = ks.shape[0]
     if n_dev == 1:
         rank_ext = jnp.concatenate(
             [rank_home, jnp.full((n_local,), -1, jnp.int32)]
         )
-        start = jnp.minimum(k, n_local)
-        return jax.lax.dynamic_slice(rank_ext, (start,), (n_local,))
+        starts = jnp.minimum(ks, n_local)
+        rows = [jax.lax.dynamic_slice(rank_ext, (starts[i],), (n_local,))
+                for i in range(n_shift)]
+        return tuple(rows)
     me = jax.lax.axis_index(AXIS)
-    s = k // n_local  # block shift; < n_dev because callers keep k < n
-    off = k - s * n_local
-    x = rank_home
+    s = ks // n_local  # block shifts; row i < i*n_dev, masked below
+    off = ks - s * n_local
+    # All three shifted windows ride ONE stacked ppermute per stage (3x
+    # payload, 1/3 the messages — ICI transfers this small are
+    # latency-bound). Row i keeps/discards each power-of-two block shift
+    # according to its own bit of s[i].
+    x = jnp.broadcast_to(rank_home, (n_shift, n_local))
     bit = 1
-    while bit < n_dev:
-        perm = [(j, j - bit) for j in range(bit, n_dev)]
+    while bit < 4 * n_dev:  # s can reach 3*(n_dev-1) for the 3k shift
+        perm = [(j, (j - bit) % n_dev) for j in range(n_dev)]
         moved = jax.lax.ppermute(x, AXIS, perm)
-        x = jnp.where((s & bit) != 0, moved, x)
+        x = jnp.where(((s & bit) != 0)[:, None], moved, x)
         bit *= 2
-    # One more static shift for the s+1 block; mask blocks past the end
-    # (ppermute fills absent edges with zeros, a valid rank value).
-    perm1 = [(j, j - 1) for j in range(1, n_dev)]
+    # One more static shift for the s+1 blocks; mask blocks past the end
+    # (wrapped/absent blocks would otherwise alias valid rank values).
+    perm1 = [(j, (j - 1) % n_dev) for j in range(n_dev)]
     x1 = jax.lax.ppermute(x, AXIS, perm1)
-    x = jnp.where(me + s < n_dev, x, -1)
-    x1 = jnp.where(me + s + 1 < n_dev, x1, -1)
-    return jax.lax.dynamic_slice(jnp.concatenate([x, x1]), (off,), (n_local,))
+    x = jnp.where((me + s < n_dev)[:, None], x, -1)
+    x1 = jnp.where((me + s + 1 < n_dev)[:, None], x1, -1)
+    both = jnp.concatenate([x, x1], axis=1)  # (3, 2L)
+    rows = [jax.lax.dynamic_slice(both[i], (off[i],), (n_local,))
+            for i in range(n_shift)]
+    return tuple(rows)
 
 
 def _packed_initial_rank(text_local: jax.Array, n_dev: int) -> jax.Array:
@@ -177,9 +189,7 @@ def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
     lidx = jnp.arange(n_local, dtype=jnp.int32)
     gidx = (me * n_local + lidx).astype(jnp.int32)
 
-    s1 = _halo_fetch(rank_home, k, n_local, n_dev)
-    s2 = _halo_fetch(rank_home, 2 * k, n_local, n_dev)
-    s3 = _halo_fetch(rank_home, 3 * k, n_local, n_dev)
+    s1, s2, s3 = _halo_fetch3(rank_home, k, n_local, n_dev)
 
     # gidx MUST be a key here (unlike the single-chip engine): in the
     # merge-split stages each device merges [mine ++ partner's] while the

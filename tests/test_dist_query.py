@@ -94,3 +94,18 @@ def test_sharded_lcp_banana(mesh):
     st = SuffixTable.new("banana")
     idx = ShardedQueryIndex(b"banana", mesh, sa=st.table())
     assert idx.lcp_lens().tolist() == [0, 1, 3, 0, 0, 2]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.binary(min_size=4, max_size=200),
+       st.lists(st.binary(min_size=0, max_size=24), min_size=1, max_size=6))
+def test_prop_sharded_queries(data, queries):
+    mesh = make_mesh(8)
+    st_ = SuffixTable.new(data)
+    idx = ShardedQueryIndex(data, mesh, sa=st_.table())
+    got = idx.positions_batch(queries)
+    for q, g in zip(queries, got):
+        assert g.tolist() == st_.positions(q).tolist(), q
