@@ -109,3 +109,13 @@ def test_prop_sharded_queries(data, queries):
     got = idx.positions_batch(queries)
     for q, g in zip(queries, got):
         assert g.tolist() == st_.positions(q).tolist(), q
+
+
+def test_empty_and_tiny_texts():
+    mesh = make_mesh(8)
+    for data in [b"", b"a", b"ab"]:
+        st_ = SuffixTable.new(data)
+        idx = ShardedQueryIndex(data, mesh, sa=st_.table())
+        for q in ["", "a", "b", "ab"]:
+            assert idx.positions(q).tolist() == st_.positions(q).tolist(), (
+                data, q)
