@@ -286,17 +286,36 @@ class ShardedQueryIndex:
             self._text, self._table, jnp.int32(self.n),
             self.n_local, self.n_dev, mesh)
 
+    MAX_QUERY_BATCH = 1 << 18
+
     def bounds_batch(self, queries: np.ndarray, qlens: np.ndarray):
-        """(start, count) arrays for a padded (Q, m) int batch."""
+        """(start, count) arrays for a (Q, m) int batch.
+
+        Shapes bucket to powers of two (same policy as SuffixTable) so
+        the compiled executable is reused across calls; oversized batches
+        stream through in chunks.
+        """
         queries = np.asarray(queries, np.int32)
         qlens = np.asarray(qlens, np.int32)
-        max_qlen = int(queries.shape[1])
+        nq = int(queries.shape[0])
+        if nq > self.MAX_QUERY_BATCH:
+            parts = [self.bounds_batch(queries[i:i + self.MAX_QUERY_BATCH],
+                                       qlens[i:i + self.MAX_QUERY_BATCH])
+                     for i in range(0, nq, self.MAX_QUERY_BATCH)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
+        m_pad = bucket_size(max(int(queries.shape[1]), 1), minimum=8)
+        q_pad = bucket_size(max(nq, 1), minimum=8)
+        full_q = np.zeros((q_pad, m_pad), np.int32)
+        full_q[:nq, :queries.shape[1]] = queries
+        full_lens = np.zeros((q_pad,), np.int32)
+        full_lens[:nq] = qlens
         start, count = _bounds_jit(
             self._text, jnp.int32(self.n), self._table, self._pk_fence,
-            self._pk_block, jnp.asarray(queries), jnp.asarray(qlens),
-            jnp.int32(self.n), self.n_local, self.n_dev, max_qlen,
+            self._pk_block, jnp.asarray(full_q), jnp.asarray(full_lens),
+            jnp.int32(self.n), self.n_local, self.n_dev, m_pad,
             self.mesh)
-        return np.asarray(start), np.asarray(count)
+        return np.asarray(start)[:nq], np.asarray(count)[:nq]
 
     def _encode(self, queries):
         qb = [np.frombuffer(q.encode() if isinstance(q, str) else bytes(q),
