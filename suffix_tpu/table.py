@@ -90,8 +90,13 @@ class SuffixTable:
         indices past the reference's u32 cap; u64 needs jax_enable_x64.
         """
         raw, was_str = _as_bytes(text)
-        if len(raw) > MAX_TEXT_LEN and index_dtype == "u32":
-            raise ValueError("text is too large (max 2^32 - 1 bytes)")
+        if len(raw) > MAX_TEXT_LEN:
+            # SuffixTable stores u32 offsets (reference parity). u64
+            # widening helps texts in [2^31, 2^32) padded past the int32
+            # engine cap; beyond 2^32-1 use ops.prefix_doubling.
+            # suffix_array_bytes(index_dtype="u64") directly.
+            raise ValueError("text is too large (max 2^32 - 1 bytes); use "
+                             "suffix_array_bytes(index_dtype='u64')")
         if engine == "device":
             table = prefix_doubling.suffix_array_bytes(
                 raw, padding=padding, index_dtype=index_dtype)
