@@ -27,7 +27,13 @@ def save_index(path: str, st, *, lcp: np.ndarray | None = None,
         payload["lcp"] = np.asarray(lcp, dtype=np.uint32)
     if doc_starts is not None:
         payload["doc_starts"] = np.asarray(doc_starts, dtype=np.int64)
-    np.savez_compressed(path, **payload)
+    # Atomic: never leave a half-written index (np.savez appends .npz to
+    # bare names, so the temp name keeps the suffix).
+    import os
+
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **payload)
+    os.replace(tmp, path)
 
 
 def load_index(path: str):
