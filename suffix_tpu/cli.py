@@ -152,9 +152,11 @@ def main(argv=None) -> int:
     b.add_argument("file")
     b.add_argument("-o", "--output", help="save the index (npz checkpoint)")
     b.add_argument("-v", "--verbose", action="store_true")
-    b.add_argument("-e", "--engine", default="device",
-                   choices=["device", "sais", "native", "naive", "sharded"],
-                   help="construction engine (sharded = all mesh devices)")
+    b.add_argument("-e", "--engine", default="auto",
+                   choices=["auto", "device", "sais", "native", "naive",
+                            "sharded"],
+                   help="construction engine (auto = native CPU for small "
+                        "files, device otherwise; sharded = all mesh devices)")
     b.add_argument("--devices", type=int, default=None,
                    help="mesh size for --engine sharded (default: all)")
     b.add_argument("--checkpoint",

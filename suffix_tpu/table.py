@@ -36,6 +36,11 @@ from suffix_tpu.ops.padding import PAD, bucket_size
 
 MAX_TEXT_LEN = 0xFFFFFFFF  # u32 offsets, same cap as the reference
 
+# engine="auto": corpora at or below this build on the host CPU via the
+# native SA-IS (linear time, no dispatch/compile latency); larger ones go
+# to the device pipeline, whose sort throughput dominates past ~1 MiB.
+AUTO_NATIVE_MAX = 1 << 20
+
 
 def _as_bytes(text) -> tuple[bytes, bool]:
     """Normalize input text; returns (raw_bytes, was_str)."""
@@ -84,12 +89,21 @@ class SuffixTable:
           device (the fast path);
         - ``"sais"``    — the SA-IS-structured device pipeline (LMS
           sample + stratified induced derivation, ops/sais.py);
-        - ``"native"``  — linear-time C++ SA-IS on the host CPU.
+        - ``"native"``  — linear-time C++ SA-IS on the host CPU;
+        - ``"auto"``    — native for small texts (<= AUTO_NATIVE_MAX,
+          skipping device dispatch/compile latency), device otherwise.
 
         ``index_dtype`` ("u32"/"u64"/"auto", device engine only) widens
         indices past the reference's u32 cap; u64 needs jax_enable_x64.
         """
         raw, was_str = _as_bytes(text)
+        if engine == "auto":
+            engine = "device"
+            if len(raw) <= AUTO_NATIVE_MAX:
+                from suffix_tpu import native
+
+                if native.available():
+                    engine = "native"
         if len(raw) > MAX_TEXT_LEN:
             # SuffixTable stores u32 offsets (reference parity). u64
             # widening helps texts in [2^31, 2^32) padded past the int32
@@ -210,15 +224,44 @@ class SuffixTable:
     # 4.2M q/s at 64k vs 9.9M q/s at 256k per dispatch (4 MiB index).
     MAX_QUERY_BATCH = 1 << 18  # queries per device dispatch
 
+    # Hybrid serving: on accelerator backends a device dispatch costs
+    # milliseconds (more through a tunnel), so single queries and tiny
+    # batches answer faster on the host CPU (native binary search,
+    # microseconds) than as a device program. Both paths produce
+    # identical bounds (pinned by tests/test_hybrid.py).
+    query_route = "auto"  # "auto" | "device" | "host"
+    HOST_QUERY_MAX = 64  # "auto": batches up to this size go to the host
+
+    def _route_host(self, nq: int) -> bool:
+        if self.query_route == "device":
+            return False
+        from suffix_tpu import native
+
+        if self.query_route == "host":
+            return True  # explicit: raises NativeUnavailable if unbuilt
+        if nq > self.HOST_QUERY_MAX:
+            return False
+        from suffix_tpu.utils.platform import dispatch_is_expensive
+
+        return dispatch_is_expensive() and native.available()
+
     def _bounds_batch(self, queries: Sequence) -> tuple[np.ndarray, np.ndarray]:
         """Vector of (start, count) rank bounds for a query batch.
 
         Query length and batch size are bucketed to powers of two so the
         compiled executable is reused across calls (XLA compiles per
         shape); batches beyond MAX_QUERY_BATCH stream through in chunks.
+        Small batches on accelerator backends short-circuit to the host
+        (see ``query_route``).
         """
-        self._ensure_device()
         nq = len(queries)
+        if self._route_host(nq):
+            from suffix_tpu import native
+
+            starts, counts = native.bounds_batch(self._raw, self._table,
+                                                 queries)
+            return starts.astype(np.int64), counts.astype(np.int64)
+        self._ensure_device()
         if nq > self.MAX_QUERY_BATCH:
             starts, counts = [], []
             for i in range(0, nq, self.MAX_QUERY_BATCH):

@@ -17,6 +17,24 @@ def setup_compilation_cache(path: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def default_backend() -> str:
+    """The default JAX backend name ("tpu", "cpu", ...), lazily."""
+    import jax
+
+    return jax.default_backend()
+
+
+def dispatch_is_expensive() -> bool:
+    """True when a device dispatch costs milliseconds (accelerator,
+    possibly tunneled) rather than microseconds (host CPU backend).
+
+    Used by the hybrid routing in ``SuffixTable``: on accelerators,
+    single queries and tiny builds run faster on the host CPU via the
+    native library than as a device program launch.
+    """
+    return default_backend() != "cpu"
+
+
 def sync(x) -> None:
     """Force completion of a device computation.
 
