@@ -414,39 +414,62 @@ def _suffix_array_ints(vals: jax.Array) -> jax.Array:
     return sa
 
 
+_lms_substring_ranks_jit = jax.jit(_lms_substring_ranks)
+
+
 @functools.partial(jax.jit, static_argnames=("w_pad",))
-def _lms_rank_via_reduction(text: jax.Array, w_pad: int) -> jax.Array:
-    """LMS class ranks via the genuine SA-IS reduction.
-
-    Sorts LMS substrings, names them, builds the reduced string of names
-    in text order (padded to ``w_pad``), suffix-sorts it with the integer
-    doubling base, and maps reduced ranks back to LMS positions.
-    """
-    n = text.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    sub_rank, is_lms, num_names, w_lms = _lms_substring_ranks(text)
-
-    # Reduced string: names of LMS substrings in text order, compacted.
-    # Position of LMS i within the reduced string = its LMS ordinal.
+def _build_reduced(sub_rank: jax.Array, is_lms: jax.Array, w_pad: int):
+    """Reduced string of LMS-substring names in text order (padded to
+    ``w_pad``) and each position's LMS ordinal (reference P13 list,
+    src/table.rs:512-530)."""
     lms_ord = jnp.cumsum(is_lms.astype(jnp.int32)) - is_lms.astype(jnp.int32)
     reduced = jnp.full((w_pad,), -1, jnp.int32)
     reduced = reduced.at[jnp.where(is_lms, lms_ord, w_pad)].set(
         jnp.where(is_lms, sub_rank, 0), mode="drop"
     )
-    sa_reduced = _suffix_array_ints(reduced)  # pads (-1) sort first
+    return reduced, lms_ord
 
-    # Rank of each reduced suffix; pads occupy the first (w_pad - w) slots.
-    pad_count = w_pad - w_lms
+
+@jax.jit
+def _rank_from_reduced_sa(is_lms: jax.Array, lms_ord: jax.Array,
+                          sa_reduced: jax.Array, w_lms: jax.Array):
+    """Map reduced-suffix ranks back to LMS class ranks per position."""
+    w_pad = sa_reduced.shape[0]
+    # Pads (-1) sort first and occupy the lowest (w_pad - w_lms) ranks.
     red_rank = jnp.zeros((w_pad,), jnp.int32).at[sa_reduced].set(
-        jnp.arange(w_pad, dtype=jnp.int32) - pad_count
+        jnp.arange(w_pad, dtype=jnp.int32) - (w_pad - w_lms)
     )
-    # Map back: LMS position i (ordinal j) gets class rank red_rank[j].
-    lms_class_rank = jnp.where(
-        is_lms,
-        jnp.take(red_rank, jnp.minimum(lms_ord, w_pad - 1)),
-        0,
+    return jnp.where(
+        is_lms, jnp.take(red_rank, jnp.minimum(lms_ord, w_pad - 1)), 0
     )
-    return lms_class_rank
+
+
+@jax.jit
+def _mask_lms_rank(is_lms: jax.Array, sub_rank: jax.Array) -> jax.Array:
+    return jnp.where(is_lms, sub_rank, 0)
+
+
+def _lms_rank_via_reduction(text: jax.Array, w_pad: int) -> jax.Array:
+    """LMS class ranks via the genuine SA-IS reduction, host-stepped.
+
+    Sorts LMS substrings, names them, and — only when names repeat —
+    builds the reduced string of names in text order, suffix-sorts it
+    with the integer doubling base, and maps reduced ranks back to LMS
+    positions. When every name is unique the substring ranks already ARE
+    the LMS suffix order and the recursion is skipped — the reference's
+    direct inverse permutation branch (src/table.rs:501-506).
+
+    Host-stepping keeps each device program small: the substring sort,
+    the reduced-string build, the integer suffix sort, and the map-back
+    compile independently (and cache independently), instead of one
+    monolithic multi-loop program.
+    """
+    sub_rank, is_lms, num_names, w_lms = _lms_substring_ranks_jit(text)
+    if int(num_names) == int(w_lms):
+        return _mask_lms_rank(is_lms, sub_rank)
+    reduced, lms_ord = _build_reduced(sub_rank, is_lms, w_pad)
+    sa_reduced = _suffix_array_ints(reduced)  # pads (-1) sort first
+    return _rank_from_reduced_sa(is_lms, lms_ord, sa_reduced, w_lms)
 
 
 def suffix_array_sais_recursive(data: bytes | np.ndarray) -> np.ndarray:
