@@ -58,6 +58,10 @@ def _load() -> ctypes.CDLL:
             u8p, ctypes.c_uint32, u32p, u8p, u32p, ctypes.c_uint32, u32p, u32p,
         ]
         lib.stpu_bounds_batch.restype = None
+        lib.stpu_bounds_one.argtypes = [
+            u8p, ctypes.c_uint32, u32p, ctypes.c_char_p, ctypes.c_uint32, u32p,
+        ]
+        lib.stpu_bounds_one.restype = None
         _lib = lib
         return lib
 
@@ -105,6 +109,39 @@ def kasai(data: bytes | np.ndarray, sa: np.ndarray) -> np.ndarray:
     if n:
         lib.stpu_kasai_u8(_u8(arr), _u32(sa), n, _u32(out))
     return out
+
+
+class BoundsHandle:
+    """Cached single-query handle over one (text, sa) pair.
+
+    Pins the text/SA buffers and their ctypes pointers once, so each
+    ``bounds_one`` call is a single foreign call with no per-call array
+    marshalling — the microsecond-scale serving path for single queries
+    (cf. the reference's 228 ns positions() microbench, README.md:89).
+    """
+
+    def __init__(self, data: bytes | np.ndarray, sa: np.ndarray):
+        self._lib = _load()
+        self._text = np.ascontiguousarray(
+            np.frombuffer(bytes(data), dtype=np.uint8)
+            if isinstance(data, (bytes, bytearray))
+            else np.asarray(data, np.uint8)
+        )
+        self._sa = np.ascontiguousarray(sa, dtype=np.uint32)
+        if self._sa.shape[0] != self._text.shape[0]:
+            raise ValueError("text/sa length mismatch")
+        self._n = self._text.shape[0]
+        self._tp = _u8(self._text)
+        self._sp = _u32(self._sa)
+        self._out = np.zeros(2, dtype=np.uint32)
+        self._op = _u32(self._out)
+        self._fn = self._lib.stpu_bounds_one
+
+    def bounds_one(self, query) -> tuple[int, int]:
+        """(start, count) rank bounds for one query."""
+        q = query.encode("utf-8") if isinstance(query, str) else bytes(query)
+        self._fn(self._tp, self._n, self._sp, q, len(q), self._op)
+        return int(self._out[0]), int(self._out[1])
 
 
 def bounds_batch(data: bytes | np.ndarray, sa: np.ndarray, queries) -> tuple[np.ndarray, np.ndarray]:

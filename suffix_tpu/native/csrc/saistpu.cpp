@@ -233,4 +233,14 @@ void stpu_bounds_batch(const uint8_t* text, uint32_t n, const uint32_t* sa,
   }
 }
 
+// Single-query fast path: identical semantics to stpu_bounds_batch with
+// one query, but a flat signature so the Python side can call it with
+// cached ctypes arguments and no per-call array marshalling.
+// out[0] = start, out[1] = count.
+void stpu_bounds_one(const uint8_t* text, uint32_t n, const uint32_t* sa,
+                     const uint8_t* q, uint32_t qlen, uint32_t* out) {
+  uint32_t offsets[2] = {0, qlen};
+  stpu_bounds_batch(text, n, sa, q, offsets, 1, out, out + 1);
+}
+
 }  // extern "C"

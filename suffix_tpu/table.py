@@ -75,6 +75,7 @@ class SuffixTable:
         self._dev_table = None
         self._n_iters = None
         self._pk_ext = None  # extended keys, built on first long-query batch
+        self._host_handle = None  # native single-query handle (hybrid route)
 
     # ----------------------------------------------------------------- build
 
@@ -258,6 +259,12 @@ class SuffixTable:
         if self._route_host(nq):
             from suffix_tpu import native
 
+            if nq == 1:  # microsecond path: cached pointers, one call
+                if self._host_handle is None:
+                    self._host_handle = native.BoundsHandle(self._raw,
+                                                            self._table)
+                s, c = self._host_handle.bounds_one(queries[0])
+                return np.array([s], np.int64), np.array([c], np.int64)
             starts, counts = native.bounds_batch(self._raw, self._table,
                                                  queries)
             return starts.astype(np.int64), counts.astype(np.int64)
