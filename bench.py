@@ -168,6 +168,34 @@ def main() -> None:
     detail["queries_per_s_100KB_index"] = round(qps_fix, 0)
     detail["query_vs_baseline"] = round(qps_fix / (1e9 / BASELINE_QUERY_NS), 3)
 
+    # --- small-scale latency: the reference's own microbench setting -----
+    # sais_small builds "mississippi" in 1,038 ns; search_suffix_exists_many
+    # answers one 14-char query in 228 ns (README.md:89,116). The hybrid
+    # host route (table.py) serves this scale on the CPU via the native
+    # library instead of paying a device dispatch.
+    try:
+        from suffix_tpu import SuffixTable, native
+
+        if native.available():
+            native.sais(b"warm")  # load the .so outside the timing
+            t0 = time.perf_counter()
+            n_small = 2000
+            for _ in range(n_small):
+                native.sais(b"mississippi")
+            detail["build_mississippi_ns_host"] = round(
+                (time.perf_counter() - t0) / n_small * 1e9)
+            st_small = SuffixTable.new(fixture, engine="native")
+            st_small.query_route = "host"
+            pat = fixture[5000:5014]
+            st_small.positions(pat)  # warm
+            t0 = time.perf_counter()
+            for _ in range(n_small):
+                st_small.positions(pat)
+            detail["single_query_ns_host"] = round(
+                (time.perf_counter() - t0) / n_small * 1e9)
+    except Exception as e:
+        detail["host_route"] = f"unavailable: {e}"
+
     # --- LCP on the 4 MiB index (keyed + chunked refinement) -------------
     from suffix_tpu.ops.lcp import _lcp_keyed
 
