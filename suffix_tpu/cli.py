@@ -101,6 +101,38 @@ def _cmd_search(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    from suffix_tpu import SuffixTable
+    from suffix_tpu.serve import Batcher, serve_stdio, serve_tcp
+    from suffix_tpu.utils.checkpoint import load_index
+    from suffix_tpu.utils.platform import setup_compilation_cache
+
+    setup_compilation_cache()
+    if args.index:
+        st = load_index(args.index)
+    elif args.file:
+        with open(args.file, "rb") as f:
+            st = SuffixTable.new(f.read(), engine="auto")
+    else:
+        print("error: serve requires --file or --index", file=sys.stderr)
+        return 2
+    if args.warm:
+        # Compile (or cache-load) the batch query program up front so the
+        # first client request never pays a device compile.
+        st._bounds_batch(["\x00"] * min(args.max_batch, 4096))
+    batcher = Batcher(st, max_batch=args.max_batch,
+                      max_wait_ms=args.max_wait_ms) if args.batch else None
+    try:
+        if args.tcp is not None:
+            serve_tcp(st, args.tcp, host=args.host, batcher=batcher)
+        else:
+            serve_stdio(st, batcher=batcher)
+    finally:
+        if batcher is not None:
+            batcher.close()
+    return 0
+
+
 def _cmd_info(args) -> int:
     from suffix_tpu.utils.checkpoint import load_index
 
@@ -182,6 +214,21 @@ def main(argv=None) -> int:
                    help="mesh size for --sharded (default: all)")
     q.add_argument("query", nargs="*")
     q.set_defaults(fn=_cmd_search)
+
+    v = sub.add_parser("serve",
+                       help="long-lived query server (JSONL stdio or TCP)")
+    v.add_argument("--file", help="text file to index at startup")
+    v.add_argument("--index", help="pre-built index checkpoint (npz)")
+    v.add_argument("--tcp", type=int, default=None, metavar="PORT",
+                   help="serve JSONL over TCP (default: stdio)")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--batch", action="store_true",
+                   help="coalesce concurrent requests into shared dispatches")
+    v.add_argument("--max-batch", type=int, default=65536)
+    v.add_argument("--max-wait-ms", type=float, default=2.0)
+    v.add_argument("--warm", action="store_true",
+                   help="pre-compile the batched query program at startup")
+    v.set_defaults(fn=_cmd_serve)
 
     i = sub.add_parser("info", help="statistics of a saved index")
     i.add_argument("index", help="index checkpoint (npz)")
