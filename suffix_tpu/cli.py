@@ -117,9 +117,27 @@ def _cmd_serve(args) -> int:
         print("error: serve requires --file or --index", file=sys.stderr)
         return 2
     if args.warm:
-        # Compile (or cache-load) the batch query program up front so the
-        # first client request never pays a device compile.
-        st._bounds_batch(["\x00"] * min(args.max_batch, 4096))
+        # Compile (or cache-load) the batch query programs for the shape
+        # buckets real requests will hit, so no client ever pays a device
+        # compile. Force the device route: warming the host path is
+        # meaningless and small warm batches would otherwise be diverted.
+        prev_route = st.query_route
+        st.query_route = "device"
+        try:
+            for q_bucket in (256, 4096, 65536):
+                if q_bucket > max(256, min(args.max_batch,
+                                           st.MAX_QUERY_BATCH)):
+                    break
+                for mlen in (7, 15):  # pads to the 8- and 16-byte buckets
+                    st._bounds_batch(["a" * mlen] * q_bucket)
+        finally:
+            st.query_route = prev_route
+    if args.batch and args.tcp is None:
+        # stdio is strictly sequential: a batcher can never coalesce and
+        # only adds max_wait_ms latency per request.
+        print("warning: --batch has no effect over stdio; disabled",
+              file=sys.stderr)
+        args.batch = False
     batcher = Batcher(st, max_batch=args.max_batch,
                       max_wait_ms=args.max_wait_ms) if args.batch else None
     try:

@@ -21,6 +21,7 @@ _LIB = os.path.join(_DIR, "csrc", "libsaistpu.so")
 
 _lock = threading.Lock()
 _lib = None
+_load_error: "NativeUnavailable | None" = None  # cached failure: no retries
 
 
 class NativeUnavailable(RuntimeError):
@@ -32,7 +33,10 @@ def _build() -> None:
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         _SRC, "-o", _LIB,
     ]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+    except OSError as e:  # g++ missing entirely
+        raise NativeUnavailable(f"cannot run g++: {e}") from e
     if proc.returncode != 0:
         raise NativeUnavailable(
             f"failed to build native library:\n{proc.stderr}"
@@ -40,13 +44,22 @@ def _build() -> None:
 
 
 def _load() -> ctypes.CDLL:
-    global _lib
+    global _lib, _load_error
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            _build()
+        if _load_error is not None:
+            raise _load_error
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+        except NativeUnavailable as e:
+            _load_error = e
+            raise
+        except OSError as e:
+            _load_error = NativeUnavailable(f"cannot build native lib: {e}")
+            raise _load_error from e
         lib = ctypes.CDLL(_LIB)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -133,15 +146,18 @@ class BoundsHandle:
         self._n = self._text.shape[0]
         self._tp = _u8(self._text)
         self._sp = _u32(self._sa)
-        self._out = np.zeros(2, dtype=np.uint32)
-        self._op = _u32(self._out)
         self._fn = self._lib.stpu_bounds_one
 
     def bounds_one(self, query) -> tuple[int, int]:
-        """(start, count) rank bounds for one query."""
+        """(start, count) rank bounds for one query.
+
+        Thread-safe: the output scratch is per-call (the handle is shared
+        across server threads), only the pinned text/SA are shared.
+        """
         q = query.encode("utf-8") if isinstance(query, str) else bytes(query)
-        self._fn(self._tp, self._n, self._sp, q, len(q), self._op)
-        return int(self._out[0]), int(self._out[1])
+        out = np.zeros(2, dtype=np.uint32)
+        self._fn(self._tp, self._n, self._sp, q, len(q), _u32(out))
+        return int(out[0]), int(out[1])
 
 
 def bounds_batch(data: bytes | np.ndarray, sa: np.ndarray, queries) -> tuple[np.ndarray, np.ndarray]:

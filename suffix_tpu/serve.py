@@ -126,17 +126,27 @@ class Batcher:
 
 
 def _decode_queries(req):
-    """-> (list_of_queries, was_list)."""
+    """-> (list_of_queries, was_list). Rejects non-string entries — a JSON
+    number would otherwise coerce (bytes(3) == three NULs) and answer a
+    different question than the client asked."""
     if "q" in req:
         q = req["q"]
-        if isinstance(q, list):
-            return q, True
-        return [q], False
+        items, was_list = (q, True) if isinstance(q, list) else ([q], False)
+        for x in items:
+            if not isinstance(x, str):
+                raise ValueError(f"'q' entries must be strings, got "
+                                 f"{type(x).__name__}")
+        return items, was_list
     if "q_b64" in req:
         q = req["q_b64"]
-        if isinstance(q, list):
-            return [base64.b64decode(x) for x in q], True
-        return [base64.b64decode(q)], False
+        items, was_list = (q, True) if isinstance(q, list) else ([q], False)
+        out = []
+        for x in items:
+            if not isinstance(x, str):
+                raise ValueError(f"'q_b64' entries must be base64 strings, "
+                                 f"got {type(x).__name__}")
+            out.append(base64.b64decode(x))
+        return out, was_list
     raise ValueError("request needs 'q' or 'q_b64'")
 
 

@@ -23,6 +23,7 @@ tests/tests.rs:209-213) or raw ``bytes``.
 
 from __future__ import annotations
 
+import threading
 from typing import Iterable, Sequence
 
 import jax.numpy as jnp
@@ -76,6 +77,7 @@ class SuffixTable:
         self._n_iters = None
         self._pk_ext = None  # extended keys, built on first long-query batch
         self._host_handle = None  # native single-query handle (hybrid route)
+        self._init_lock = threading.RLock()  # guards the lazy device state
 
     # ----------------------------------------------------------------- build
 
@@ -204,22 +206,27 @@ class SuffixTable:
     def _ensure_device(self):
         if self._dev_text is not None:
             return
-        n = len(self)
-        n_pad = bucket_size(max(n, 1))
-        t = np.full((n_pad,), PAD, dtype=np.int32)
-        t[:n] = self._bytes
-        tab = np.zeros((n_pad,), dtype=np.int32)
-        tab[:n] = self._table
-        self._dev_text = jnp.asarray(t)
-        self._dev_table = jnp.asarray(tab)
-        self._n_iters = max(1, (n_pad + 1).bit_length())
-        # Query accelerators: packed prefix keys + 2-symbol LUT.
-        from suffix_tpu.ops import search2
+        with self._init_lock:  # server threads may race the lazy init
+            if self._dev_text is not None:
+                return
+            n = len(self)
+            n_pad = bucket_size(max(n, 1))
+            t = np.full((n_pad,), PAD, dtype=np.int32)
+            t[:n] = self._bytes
+            tab = np.zeros((n_pad,), dtype=np.int32)
+            tab[:n] = self._table
+            dev_text = jnp.asarray(t)
+            self._dev_table = jnp.asarray(tab)
+            self._n_iters = max(1, (n_pad + 1).bit_length())
+            # Query accelerators: packed prefix keys + 2-symbol LUT.
+            from suffix_tpu.ops import search2
 
-        (self._pk, self._pk_fence, self._pk_block,
-         self._lut) = search2.build_query_index(
-            self._dev_text, self._dev_table, jnp.int32(n)
-        )
+            (self._pk, self._pk_fence, self._pk_block,
+             self._lut) = search2.build_query_index(
+                dev_text, self._dev_table, jnp.int32(n)
+            )
+            # Published last: other threads key readiness off _dev_text.
+            self._dev_text = dev_text
 
     # Bigger batches amortize the per-dispatch launch cost: measured
     # 4.2M q/s at 64k vs 9.9M q/s at 256k per dispatch (4 MiB index).
@@ -291,12 +298,14 @@ class SuffixTable:
             # 3*EXT_KEY_WORDS bytes instead of probe-refining from 18.
             # Built once per table, cached; beyond the extended coverage
             # the byte refine still applies.
-            if self._pk_ext is None:
-                (self._pk_ext, self._pk_fence_ext, self._pk_block_ext,
-                 _) = search2.build_query_index(
-                    self._dev_text, self._dev_table, jnp.int32(len(self)),
-                    key_words=search2.EXT_KEY_WORDS,
-                )
+            with self._init_lock:
+                if self._pk_ext is None:
+                    (pk_e, self._pk_fence_ext, self._pk_block_ext,
+                     _) = search2.build_query_index(
+                        self._dev_text, self._dev_table, jnp.int32(len(self)),
+                        key_words=search2.EXT_KEY_WORDS,
+                    )
+                    self._pk_ext = pk_e  # published last
             pk_fence, pk_block = self._pk_fence_ext, self._pk_block_ext
 
         starts, counts = search2.bounds_batch_merge(

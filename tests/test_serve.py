@@ -80,6 +80,41 @@ def test_batcher_coalesces_and_demuxes(table):
                 assert s_got == s_want
 
 
+def test_rejects_non_string_queries(table):
+    r = handle_request(table, None, {"op": "count", "q": 3})
+    assert "must be strings" in r["error"]
+    r = handle_request(table, None, {"op": "count", "q": ["ok", 5]})
+    assert "must be strings" in r["error"]
+    r = handle_request(table, None, {"op": "count", "q_b64": [7]})
+    assert "error" in r
+
+
+def test_concurrent_single_queries_host_route(table):
+    # The shared BoundsHandle must not cross results between threads.
+    from suffix_tpu import native
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    st = SuffixTable.new(table.text_bytes(), engine="native")
+    st.query_route = "host"
+    queries = ["quick", "fox", "brown", "zebra", "the", "was quick."]
+    expect = {q: st.count(q) for q in queries}
+    errors = []
+
+    def worker(q):
+        for _ in range(300):
+            if st.count(q) != expect[q]:
+                errors.append(q)
+                return
+
+    threads = [threading.Thread(target=worker, args=(q,)) for q in queries]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+
+
 def test_batcher_empty_submit(table):
     b = Batcher(table)
     s, c = b.submit([])
