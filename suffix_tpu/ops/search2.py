@@ -56,16 +56,18 @@ def _pack3(s0, s1, s2):
     return (s0 << 18) | (s1 << 9) | s2
 
 
-@functools.partial(jax.jit, static_argnames=("key_words",))
+@functools.partial(jax.jit, static_argnames=("key_words", "stride"))
 def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array,
-                      key_words: int = KEY_WORDS):
+                      key_words: int = KEY_WORDS,
+                      stride: int | None = None):
     """Packed rank keys (``key_words`` words) + 2-symbol LUT.
 
     ``text`` is the PAD-padded int32 text, ``table`` the padded suffix
     table (entries beyond n_table are zero). ``key_words`` widens the
     exact merge-join coverage to 3*key_words bytes — built on demand for
     batches with long patterns (3 words of index memory per extra 9
-    covered bytes).
+    covered bytes). ``stride`` overrides the measured fence-stride ladder
+    (consumers read it back from pk_block's shape).
     """
     n_pad = text.shape[0]
     key_syms = 3 * key_words
@@ -94,7 +96,8 @@ def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array,
     # Fences (every stride-th key) are materialized HERE, once per index:
     # extracting them per query batch costs ~25 ms/4M of strided reads
     # (measured v5e) — half the whole engine's budget.
-    stride = _fence_stride(n_pad)
+    if stride is None:
+        stride = _fence_stride(n_pad)
     if stride > 1:
         pk_block = jnp.stack([w.reshape(-1, stride) for w in pk], axis=1)
         pk_fence = tuple(w[::stride] for w in pk)
@@ -188,11 +191,18 @@ def _fence_stride(n_pad: int) -> int:
     """Pure merge (stride 1, zero gathers) only for tiny indexes; blocked
     fences otherwise — the fence sort is far cheaper than re-sorting the
     whole key array and the block fetch is one coalesced row-gather.
-    Stride 8 measured best on v5e (block row fetches are latency-bound,
-    so smaller rows cost the same while the fence phase stays cheap)."""
+
+    Measured ladder (v5e, 256k 14-byte queries, scripts/stride_study.py):
+    stride 8 best at <= 4 MiB (10.2M q/s; 16/64 within 20%), stride 64
+    best at >= 16 MiB (16 MiB: 3.4 -> 7.6M q/s over stride 16; 64 MiB:
+    1.7 -> 5.3M q/s over stride 8 — the fence sort scales with n/stride
+    and dominates large indexes). Stride 32 is reproducibly pathological
+    at every size (68 ms at 4 MiB vs 31 ms for both neighbors) — avoid."""
     if n_pad <= (1 << 12):
         return 1
-    return 8
+    if n_pad <= (1 << 22):
+        return 8
+    return 64
 
 
 def _refine_one(text, n_text, table, query, qlen, start, end):

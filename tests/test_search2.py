@@ -164,3 +164,37 @@ def test_extended_keys_long_patterns(rng):
             i for i in range(len(data) - len(q) + 1)
             if data[i:i + len(q)] == q)
         assert sorted(g.tolist()) == expected, q[:20]
+
+
+def test_stride_override_parity(dna_10k):
+    """Explicit fence strides must not change any bound (the ladder is a
+    pure performance knob; consumers read stride from pk_block.shape)."""
+    text = dna_10k[:4096]
+    n = len(text)
+    n_pad = bucket_size(n)
+    t = np.full((n_pad,), PAD, dtype=np.int32)
+    t[:n] = np.frombuffer(text, dtype=np.uint8)
+    st_ = SuffixTable.new(text)
+    tab = np.zeros((n_pad,), dtype=np.int32)
+    tab[:n] = st_.table()
+    t_dev, tab_dev = jnp.asarray(t), jnp.asarray(tab)
+    queries = [text[i : i + l].decode("latin-1")
+               for i, l in [(0, 3), (100, 1), (5, 14), (77, 18), (9, 2)]]
+    queries += ["ZZZ", ""]
+    q, qlens = s1.pack_queries(queries)
+    q_dev, qlens_dev = jnp.asarray(q), jnp.asarray(qlens)
+    n_iters = (n_pad + 1).bit_length()
+    ref = None
+    for stride in (1, 4, 8, 64, 256):
+        _, fence, blk, _ = s2.build_query_index(t_dev, tab_dev, jnp.int32(n),
+                                                stride=stride)
+        got = s2.bounds_batch_merge(t_dev, jnp.int32(n), tab_dev,
+                                    jnp.int32(n), fence, blk, q_dev,
+                                    qlens_dev, n_iters, q.shape[1])
+        got = tuple(np.asarray(x) for x in got)
+        if ref is None:
+            ref = got
+        else:
+            assert np.array_equal(ref[1], got[1]), stride
+            live = ref[1] > 0
+            assert np.array_equal(ref[0][live], got[0][live]), stride
