@@ -65,8 +65,10 @@ def main() -> None:
 
     if args.queries:
         sa32 = sa.astype(jnp.int32)
+        # with_keys=False: the merge engine needs only fences + blocks;
+        # the flat key copy would OOM the 128 MiB corpus on 16 GB HBM.
         _pk, fence, blk, _ = search_ops.build_query_index(
-            t_dev, sa32, jnp.int32(n))
+            t_dev, sa32, jnp.int32(n), with_keys=False)
         sync(fence)
         qlen = 14
         starts = rng.integers(0, n - qlen, size=args.queries)

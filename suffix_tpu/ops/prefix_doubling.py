@@ -45,10 +45,16 @@ def pick_init_words(n_pad: int) -> int:
     fixture). Mid sizes: 2 words win (39.1 vs 48.9 ms at 4 MiB — the
     h-ladder 6->24 already clears the ~22-char max LCP of random text in
     one round). Huge builds (>= 16M): expected max LCP of random text
-    (~2 log_sigma n) crosses 24, so the 12->48 ladder saves a whole
-    full-width round (measured 55.0 vs 39.2 MB/s at 128 MiB)."""
-    if n_pad <= (1 << 20) or n_pad >= (1 << 24):
+    (~2 log_sigma n) crosses 24, so the initial sort must reach h0 >= 9
+    to converge after one quadrupling round (9 -> 36 covers random text
+    to n ~ 2^36); 3 words beat 4 by the saved operand (68.1 vs
+    62.2 MB/s at 64 MiB, scripts/scale_probe.py). Corpora whose max LCP
+    lands in (36, 48] would save a round at 4 words — pass init_words
+    explicitly for such classes."""
+    if n_pad <= (1 << 20):
         return 4
+    if n_pad >= (1 << 24):
+        return 3
     return INIT_WORDS
 
 

@@ -56,10 +56,12 @@ def _pack3(s0, s1, s2):
     return (s0 << 18) | (s1 << 9) | s2
 
 
-@functools.partial(jax.jit, static_argnames=("key_words", "stride"))
+@functools.partial(jax.jit,
+                   static_argnames=("key_words", "stride", "with_keys"))
 def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array,
                       key_words: int = KEY_WORDS,
-                      stride: int | None = None):
+                      stride: int | None = None,
+                      with_keys: bool = True):
     """Packed rank keys (``key_words`` words) + 2-symbol LUT.
 
     ``text`` is the PAD-padded int32 text, ``table`` the padded suffix
@@ -67,7 +69,10 @@ def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array,
     exact merge-join coverage to 3*key_words bytes — built on demand for
     batches with long patterns (3 words of index memory per extra 9
     covered bytes). ``stride`` overrides the measured fence-stride ladder
-    (consumers read it back from pk_block's shape).
+    (consumers read it back from pk_block's shape). ``with_keys=False``
+    drops the flat key tuple from the result (pk[0] slot is None) —
+    the merge engine needs only fences + blocks, and the flat copy is
+    half the index's HBM footprint (it OOMs a 128 MiB corpus on 16 GB).
     """
     n_pad = text.shape[0]
     key_syms = 3 * key_words
@@ -104,7 +109,7 @@ def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array,
     else:
         pk_block = None
         pk_fence = tuple(pk)
-    return tuple(pk), pk_fence, pk_block, lut
+    return (tuple(pk) if with_keys else None), pk_fence, pk_block, lut
 
 
 def _batch_query_keys(queries: jax.Array, qlens: jax.Array,

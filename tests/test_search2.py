@@ -198,3 +198,30 @@ def test_stride_override_parity(dna_10k):
             assert np.array_equal(ref[1], got[1]), stride
             live = ref[1] > 0
             assert np.array_equal(ref[0][live], got[0][live]), stride
+
+
+def test_with_keys_false_same_bounds(dna_10k):
+    text = dna_10k[:4096]
+    n = len(text)
+    n_pad = bucket_size(n)
+    t = np.full((n_pad,), PAD, dtype=np.int32)
+    t[:n] = np.frombuffer(text, dtype=np.uint8)
+    st_ = SuffixTable.new(text)
+    tab = np.zeros((n_pad,), dtype=np.int32)
+    tab[:n] = st_.table()
+    t_dev, tab_dev = jnp.asarray(t), jnp.asarray(tab)
+    q, qlens = s1.pack_queries([text[5:19].decode("latin-1"), "ZZZ", "A"])
+    q_dev, qlens_dev = jnp.asarray(q), jnp.asarray(qlens)
+    n_iters = (n_pad + 1).bit_length()
+    pk, fence_a, blk_a, _ = s2.build_query_index(t_dev, tab_dev, jnp.int32(n))
+    none_pk, fence_b, blk_b, _ = s2.build_query_index(
+        t_dev, tab_dev, jnp.int32(n), with_keys=False)
+    assert none_pk is None and pk is not None
+    a = s2.bounds_batch_merge(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
+                              fence_a, blk_a, q_dev, qlens_dev, n_iters,
+                              q.shape[1])
+    b = s2.bounds_batch_merge(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
+                              fence_b, blk_b, q_dev, qlens_dev, n_iters,
+                              q.shape[1])
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
