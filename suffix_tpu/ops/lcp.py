@@ -215,7 +215,10 @@ def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
     if pk is None:
         from suffix_tpu.ops import search2
 
-        pk, _, _, _ = search2.build_query_index(t_dev, tab_dev, jnp.int32(n))
+        # stride=1: fences alias the keys and no blocked copy is built —
+        # the LCP refinement only reads the flat keys.
+        pk, _, _, _ = search2.build_query_index(t_dev, tab_dev, jnp.int32(n),
+                                                stride=1)
     out = _lcp_keyed(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
                      tuple(pk), block=block)
     return np.asarray(out)[:n].astype(np.uint32)

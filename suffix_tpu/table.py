@@ -219,11 +219,17 @@ class SuffixTable:
             self._dev_table = jnp.asarray(tab)
             self._n_iters = max(1, (n_pad + 1).bit_length())
             # Query accelerators: packed prefix keys + 2-symbol LUT.
+            # Huge indexes skip the flat key copy (half the index HBM —
+            # a 128 MiB corpus OOMs 16 GB with it); the merge engine
+            # needs only fences + blocks, LCP rebuilds keys on demand,
+            # and long patterns byte-refine instead of widening keys.
             from suffix_tpu.ops import search2
 
+            with_keys = n_pad <= self.FLAT_KEYS_MAX_PAD
             (self._pk, self._pk_fence, self._pk_block,
              self._lut) = search2.build_query_index(
-                dev_text, self._dev_table, jnp.int32(n)
+                dev_text, self._dev_table, jnp.int32(n),
+                with_keys=with_keys,
             )
             # Published last: other threads key readiness off _dev_text.
             self._dev_text = dev_text
@@ -231,6 +237,12 @@ class SuffixTable:
     # Bigger batches amortize the per-dispatch launch cost: measured
     # 4.2M q/s at 64k vs 9.9M q/s at 256k per dispatch (4 MiB index).
     MAX_QUERY_BATCH = 1 << 18  # queries per device dispatch
+
+    # Largest padded index that keeps the flat key copy (and the 12-word
+    # extended keys for long patterns) resident; beyond it only fences +
+    # blocks live on device (measured: 2^26 fits 16 GB with keys, 2^27
+    # does not).
+    FLAT_KEYS_MAX_PAD = 1 << 26
 
     # Hybrid serving: on accelerator backends a device dispatch costs
     # milliseconds (more through a tunnel), so single queries and tiny
@@ -293,7 +305,8 @@ class SuffixTable:
         from suffix_tpu.ops import search2
 
         pk_fence, pk_block = self._pk_fence, self._pk_block
-        if int(qlens.max(initial=0)) > search2.KEY_SYMS:
+        if (int(qlens.max(initial=0)) > search2.KEY_SYMS
+                and self._pk is not None):
             # Long patterns: widen the exact merge-join coverage to
             # 3*EXT_KEY_WORDS bytes instead of probe-refining from 18.
             # Built once per table, cached; beyond the extended coverage

@@ -225,3 +225,24 @@ def test_with_keys_false_same_bounds(dna_10k):
                               q.shape[1])
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_huge_index_route_no_flat_keys(dna_10k, monkeypatch):
+    """Indexes past FLAT_KEYS_MAX_PAD drop the flat key copy: the merge
+    engine + byte refine must still answer every pattern length and the
+    device LCP must rebuild keys on demand."""
+    text = dna_10k[:8192]
+    ref = SuffixTable.new(text)
+    ref.query_route = "device"
+    monkeypatch.setattr(SuffixTable, "FLAT_KEYS_MAX_PAD", 1 << 10)
+    huge = SuffixTable.new(text)
+    huge.query_route = "device"
+    huge._ensure_device()
+    assert huge._pk is None and huge._pk_block is not None
+    queries = [text[i : i + l].decode("latin-1")
+               for i, l in [(3, 2), (50, 14), (100, 19), (200, 30),
+                            (400, 64)]] + ["ZZZ", "A"]
+    for q in queries:
+        a, b = ref.positions(q), huge.positions(q)
+        assert sorted(a.tolist()) == sorted(b.tolist()), q
+    np.testing.assert_array_equal(ref.lcp_lens(), huge.lcp_lens())
