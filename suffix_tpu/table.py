@@ -329,14 +329,31 @@ class SuffixTable:
         )
         return np.asarray(starts)[:nq], np.asarray(counts)[:nq]
 
+    def _bounds_one_host(self, query):
+        """(start, count) via the native handle, or None if device-routed.
+
+        The single-query serving path: skips the batch path's array
+        wrapping (~2.5 us of the ~8.6 us total measured at 100 KB).
+        """
+        if not self._route_host(1):
+            return None
+        from suffix_tpu import native
+
+        if self._host_handle is None:
+            self._host_handle = native.BoundsHandle(self._raw, self._table)
+        return self._host_handle.bounds_one(query)
+
     def positions(self, query) -> np.ndarray:
         """All byte offsets where ``query`` occurs, in SA (unordered) order.
 
         Reference: src/table.rs:223-259 — the result is the contiguous
         slice ``table[start:end]``, NOT sorted by position.
         """
-        starts, counts = self._bounds_batch([query])
-        s, c = int(starts[0]), int(counts[0])
+        sc = self._bounds_one_host(query)
+        if sc is None:
+            starts, counts = self._bounds_batch([query])
+            sc = int(starts[0]), int(counts[0])
+        s, c = sc
         return self._table[s : s + c]
 
     def positions_batch(self, queries: Sequence) -> list[np.ndarray]:
@@ -346,6 +363,9 @@ class SuffixTable:
 
     def contains(self, query) -> bool:
         """Existence test (reference: src/table.rs:197-199)."""
+        sc = self._bounds_one_host(query)
+        if sc is not None:
+            return sc[1] > 0
         _, counts = self._bounds_batch([query])
         return bool(counts[0] > 0)
 
@@ -355,6 +375,9 @@ class SuffixTable:
 
     def count(self, query) -> int:
         """Number of occurrences (O(m log n), no slice materialization)."""
+        sc = self._bounds_one_host(query)
+        if sc is not None:
+            return int(sc[1])
         _, counts = self._bounds_batch([query])
         return int(counts[0])
 
@@ -367,10 +390,13 @@ class SuffixTable:
 
         Reference: src/table.rs:279-293 (result is *some* occurrence).
         """
-        starts, counts = self._bounds_batch([query])
-        if counts[0] == 0:
+        sc = self._bounds_one_host(query)
+        if sc is None:
+            starts, counts = self._bounds_batch([query])
+            sc = int(starts[0]), int(counts[0])
+        if sc[1] == 0:
             return None
-        return int(self._table[int(starts[0])])
+        return int(self._table[sc[0]])
 
     # ------------------------------------------------------------------ misc
 
