@@ -159,6 +159,22 @@ def device_rows() -> dict[str, float]:
     per_batch = (time.perf_counter() - t0) / it
     rows["search_suffix_exists_many"] = per_batch / n_q * 1e9
     rows["search_suffix_exists_many_contains"] = per_batch / n_q * 1e9
+
+    # 1-char hit ("C") and miss ("H") batches share one compiled shape.
+    for name, ch in (("search_suffix_exists_one", b"C"),
+                     ("search_suffix_not_exists", b"H")):
+        q1 = np.full((n_q, 1), ch[0], np.int32)
+        l1 = np.full((n_q,), 1, np.int32)
+        a1 = (t_dev, jnp.int32(n), sa, jnp.int32(n), fence, blk,
+              jnp.asarray(q1), jnp.asarray(l1), (n_pad + 1).bit_length(), 1)
+        sync(search_ops.bounds_batch_merge(*a1))
+        t0 = time.perf_counter()
+        for _ in range(it):
+            r = search_ops.bounds_batch_merge(*a1)
+        sync(r)
+        per = (time.perf_counter() - t0) / it / n_q * 1e9
+        rows[name] = per
+        rows[name + "_contains"] = per
     return rows
 
 
