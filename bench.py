@@ -16,6 +16,7 @@ repeated corpus, and batched query throughput (queries/s, 14-byte patterns,
 from __future__ import annotations
 
 import json
+import pathlib
 import time
 
 import numpy as np
@@ -65,7 +66,7 @@ def main() -> None:
 
     detail = {"device": str(jax.devices()[0])}
 
-    with open("/root/reference/tests/AP009048_100000.fasta", "rb") as f:
+    with open(pathlib.Path(__file__).parent / "tests" / "fixtures" / "AP009048_100000.fasta", "rb") as f:
         fixture = f.read()
 
     # --- headline: 4 MiB DNA construction, on-device ---------------------

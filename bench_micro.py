@@ -19,12 +19,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
 import time
 
 import numpy as np
 
-FIXTURE_10K = "/root/reference/tests/AP009048_10000.fasta"
-FIXTURE_100K = "/root/reference/tests/AP009048_100000.fasta"
+_FIXTURES = pathlib.Path(__file__).parent / "tests" / "fixtures"
+FIXTURE_10K = str(_FIXTURES / "AP009048_10000.fasta")
+FIXTURE_100K = str(_FIXTURES / "AP009048_100000.fasta")
 
 # Published numbers (ns/iter): reference README.md:86-116.
 PUBLISHED = {

@@ -6,6 +6,9 @@ SURVEY.md §4. Must run before jax is imported anywhere.
 """
 
 import os
+import pathlib
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -27,13 +30,13 @@ import pytest
 
 @pytest.fixture(scope="session")
 def dna_10k() -> bytes:
-    with open("/root/reference/tests/AP009048_10000.fasta", "rb") as f:
+    with open(FIXTURES / "AP009048_10000.fasta", "rb") as f:
         return f.read()
 
 
 @pytest.fixture(scope="session")
 def dna_100k() -> bytes:
-    with open("/root/reference/tests/AP009048_100000.fasta", "rb") as f:
+    with open(FIXTURES / "AP009048_100000.fasta", "rb") as f:
         return f.read()
 
 

@@ -1,11 +1,13 @@
 """CLI surface (reference binaries: src/main.rs, stree_cmd/src/main.rs)."""
 
+import pathlib
+
 import numpy as np
 import pytest
 
 from suffix_tpu.cli import main
 
-FIXTURE = "/root/reference/tests/AP009048_10000.fasta"
+FIXTURE = str(pathlib.Path(__file__).parent / "fixtures" / "AP009048_10000.fasta")
 
 
 def test_build_prints_suffix_count(capsys):

@@ -8,6 +8,7 @@ SA across runs/engines).
 """
 
 import hashlib
+import pathlib
 
 import numpy as np
 import pytest
@@ -33,7 +34,7 @@ def _digest(a: np.ndarray) -> str:
 
 @pytest.mark.parametrize("name", sorted(GOLDEN))
 def test_golden_device(name, request):
-    data = open(f"/root/reference/tests/{name}.fasta", "rb").read()
+    data = open(pathlib.Path(__file__).parent / "fixtures" / f"{name}.fasta", "rb").read()
     st = SuffixTable.new(data)
     assert _digest(st.table()) == GOLDEN[name]["sa"]
     assert _digest(st.lcp_lens()) == GOLDEN[name]["lcp"]
