@@ -75,9 +75,6 @@ def host_rows() -> dict[str, float]:
 
     rows = {}
     rows["naive_small"] = timeit(lambda: naive_table_np(b"mississippi"))
-    # naive_dna_* are the reference timing ITS oracle; ours (np lexsort)
-    # is exact but built for small conformance inputs, not fixture-scale
-    # benching — those rows stay unmeasured.
 
     try:
         from suffix_tpu import native
@@ -89,6 +86,20 @@ def host_rows() -> dict[str, float]:
                                         min_time=1.0)
         rows["sais_dna_medium"] = timeit(lambda: native.sais(dna_medium),
                                          min_time=1.0, max_iter=256)
+
+        # naive_dna_*: the reference times ITS O(n^2 log n) oracle on the
+        # fixtures (tests/bench.rs:25-47). Ours is the vectorized lexsort
+        # oracle; at fixture scale the exact comparison window is
+        # maxLCP+1 bytes (every suffix pair resolves within it, -1 pad =
+        # end sentinel) — asserted against the linear engine before timing.
+        for name, corpus in (("naive_dna_small", dna_small),
+                             ("naive_dna_medium", dna_medium)):
+            golden = native.sais(corpus)
+            w = int(native.kasai(corpus, golden).max(initial=0)) + 1
+            assert np.array_equal(naive_table_np(corpus, max_len=w), golden)
+            rows[name] = timeit(
+                lambda c=corpus, w=w: naive_table_np(c, max_len=w),
+                min_time=1.0, max_iter=512)
 
         st = SuffixTable.new(dna_medium, engine="native")
         st.query_route = "host"

@@ -117,19 +117,29 @@ def _cmd_serve(args) -> int:
         print("error: serve requires --file or --index", file=sys.stderr)
         return 2
     if args.warm:
-        # Compile (or cache-load) the batch query programs for the shape
-        # buckets real requests will hit, so no client ever pays a device
-        # compile. Force the device route: warming the host path is
-        # meaningless and small warm batches would otherwise be diverted.
+        # Compile (or cache-load) the batch query programs for EVERY shape
+        # bucket real requests can hit, so no client ever pays a device
+        # compile: the full power-of-two batch ladder up to the serving cap
+        # (with --batch, Batcher drains pad to any such bucket) crossed
+        # with the 8/16/32/64-byte pattern-length buckets (>18 bytes also
+        # warms the extended-key build). Force the device route: warming
+        # the host path is meaningless and small warm batches would
+        # otherwise be diverted.
         prev_route = st.query_route
         st.query_route = "device"
+        cap = min(args.max_batch if args.batch else st.MAX_QUERY_BATCH,
+                  st.MAX_QUERY_BATCH)
         try:
-            for q_bucket in (256, 4096, 65536):
-                if q_bucket > max(256, min(args.max_batch,
-                                           st.MAX_QUERY_BATCH)):
-                    break
-                for mlen in (7, 15):  # pads to the 8- and 16-byte buckets
+            q_bucket = 8
+            while q_bucket <= cap:
+                for mlen in (7, 15, 31, 63):  # pads to 8/16/32/64 buckets
+                    t0 = time.perf_counter()
                     st._bounds_batch(["a" * mlen] * q_bucket)
+                    dt = time.perf_counter() - t0
+                    if dt > 1.0:  # show compiles, hide cache hits
+                        print(f"warmed q={q_bucket} m={mlen + 1}: {dt:.1f}s",
+                              file=sys.stderr, flush=True)
+                q_bucket *= 2
         finally:
             st.query_route = prev_route
     if args.batch and args.tcp is None:

@@ -142,8 +142,10 @@ def _fence_ranks_both(fk: list, qk: list, qk_hi: list):
     Merge [keys ++ lower-queries ++ upper-queries]; the trailing operand
     packs the tie code and the query id into ONE int32 — tie in bits
     28-29 (lower=0 sorts before equal fences=1 sorts before upper=2,
-    i.e. side='left' then side='right'), qid in the low 27 bits (batches
-    are <= 2^16 after chunking). One fewer sort operand than separate
+    i.e. side='left' then side='right'), qid in the low 27 bits. Batches
+    are chunked to SuffixTable.MAX_QUERY_BATCH = 2^18 <= 2^27, so the
+    qid field has 9 bits of headroom — widening MAX_QUERY_BATCH past
+    2^27 requires a second operand. One fewer sort operand than separate
     tie/qid words — measured 24.0 -> 15.1 ms for 65k queries over 4M keys
     on v5e together with the stride-8 fences. Each query row's exclusive
     count of preceding fence keys is its searchsorted rank.

@@ -248,7 +248,7 @@ def _lcp_jit(text, n_text, table, pk_block, n_table, n_local: int,
 
 
 class ShardedQueryIndex:
-    """Serve positions()/contains()/count() from a mesh-sharded index.
+    """Serve positions()/contains()/count()/any_position() mesh-sharded.
 
     Matches SuffixTable query semantics bit-for-bit (src/table.rs:197-293):
     unordered SA-slice positions, byte offsets, empty query matches
@@ -356,6 +356,20 @@ class ShardedQueryIndex:
 
     def contains(self, query) -> bool:
         return bool(self.contains_batch([query])[0])
+
+    def any_position_batch(self, queries) -> list:
+        """One arbitrary byte offset per query, or None (src/table.rs:279-293).
+
+        Same choice as SuffixTable.any_position: the first row of the
+        SA slice, which is arbitrary-but-deterministic.
+        """
+        q, ql = self._encode(queries)
+        start, count = self.bounds_batch(q, ql)
+        return [int(self._sa_host[s]) if c else None
+                for s, c in zip(start, count)]
+
+    def any_position(self, query):
+        return self.any_position_batch([query])[0]
 
 
 @functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))

@@ -40,6 +40,11 @@ import time
 
 import numpy as np
 
+# Largest accepted JSONL request line (TCP): bounds memory per connection
+# against unterminated streams. 16 MiB comfortably fits MAX_QUERY_BATCH
+# b64-encoded queries; oversized lines drop the connection (framing lost).
+MAX_LINE = 1 << 24
+
 
 class _Pending:
     __slots__ = ("queries", "event", "starts", "counts", "error")
@@ -76,6 +81,8 @@ class Batcher:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         p = _Pending(queries)
         with self._wake:
+            if self._stop:  # racing past close(): the flusher is gone
+                raise RuntimeError("batcher closed")
             self._queue.append(p)
             self._queued += len(queries)
             self._wake.notify()
@@ -109,8 +116,8 @@ class Batcher:
                     self._wake.wait(timeout=remaining)
                 drain, self._queue = self._queue, []
                 self._queued = 0
-            flat = [q for p in drain for q in p.queries]
-            try:
+            try:  # the WHOLE drain body: a waiter must never hang
+                flat = [q for p in drain for q in p.queries]
                 starts, counts = self._table._bounds_batch(flat)
                 off = 0
                 for p in drain:
@@ -118,11 +125,12 @@ class Batcher:
                     p.starts = np.asarray(starts[off:off + k])
                     p.counts = np.asarray(counts[off:off + k])
                     off += k
-            except Exception as e:  # propagate to every waiter
+            except BaseException as e:  # propagate to every waiter
                 for p in drain:
                     p.error = e
-            for p in drain:
-                p.event.set()
+            finally:
+                for p in drain:
+                    p.event.set()
 
 
 def _decode_queries(req):
@@ -159,7 +167,11 @@ def handle_request(table, batcher: Batcher | None, req: dict) -> dict:
             return {"id": rid, "result": "pong"}
         if op == "info":
             return {"id": rid, "result": {"bytes": table.len()}}
+        if op not in ("positions", "count", "contains", "any_position"):
+            return {"id": rid, "error": f"unknown op: {op}"}
         queries, was_list = _decode_queries(req)
+        if not queries:  # 'q': [] — answer [] without any dispatch
+            return {"id": rid, "result": []}
         if batcher is not None:
             starts, counts = batcher.submit(queries)
         else:
@@ -175,8 +187,6 @@ def handle_request(table, batcher: Batcher | None, req: dict) -> dict:
         elif op == "any_position":
             out = [int(tab[int(s)]) if int(c) else None
                    for s, c in zip(starts, counts)]
-        else:
-            return {"id": rid, "error": f"unknown op: {op}"}
         return {"id": rid, "result": out if was_list else out[0]}
     except Exception as e:
         return {"id": rid, "error": f"{type(e).__name__}: {e}"}
@@ -219,7 +229,16 @@ def serve_tcp(table, port: int, host: str = "127.0.0.1",
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
-            for raw in self.rfile:
+            while True:
+                raw = self.rfile.readline(MAX_LINE + 1)
+                if not raw:
+                    return
+                if len(raw) > MAX_LINE:  # unterminated/oversized line:
+                    # protocol framing is lost — report and drop the conn.
+                    self.wfile.write((json.dumps(
+                        {"error": f"line exceeds {MAX_LINE} bytes"})
+                        + "\n").encode())
+                    return
                 line = raw.decode("utf-8", errors="replace").strip()
                 if not line:
                     continue

@@ -78,6 +78,10 @@ class SuffixTable:
         self._pk_ext = None  # extended keys, built on first long-query batch
         self._host_handle = None  # native single-query handle (hybrid route)
         self._init_lock = threading.RLock()  # guards the lazy device state
+        # Per-instance routing (the class attributes below are defaults):
+        # assigning one table's route must not re-route every table.
+        self.query_route = type(self).query_route
+        self.HOST_QUERY_MAX = type(self).HOST_QUERY_MAX
 
     # ----------------------------------------------------------------- build
 
@@ -236,6 +240,8 @@ class SuffixTable:
 
     # Bigger batches amortize the per-dispatch launch cost: measured
     # 4.2M q/s at 64k vs 9.9M q/s at 256k per dispatch (4 MiB index).
+    # Hard cap 2^27: the qid field in search2's packed tie word is 27
+    # bits (ops/search2.py _batched_bounds).
     MAX_QUERY_BATCH = 1 << 18  # queries per device dispatch
 
     # Largest padded index that keeps the flat key copy (and the 12-word
@@ -279,10 +285,7 @@ class SuffixTable:
             from suffix_tpu import native
 
             if nq == 1:  # microsecond path: cached pointers, one call
-                if self._host_handle is None:
-                    self._host_handle = native.BoundsHandle(self._raw,
-                                                            self._table)
-                s, c = self._host_handle.bounds_one(queries[0])
+                s, c = self._ensure_host_handle().bounds_one(queries[0])
                 return np.array([s], np.int64), np.array([c], np.int64)
             starts, counts = native.bounds_batch(self._raw, self._table,
                                                  queries)
@@ -329,6 +332,16 @@ class SuffixTable:
         )
         return np.asarray(starts)[:nq], np.asarray(counts)[:nq]
 
+    def _ensure_host_handle(self):
+        if self._host_handle is None:
+            from suffix_tpu import native
+
+            with self._init_lock:  # double-checked: creation is idempotent
+                if self._host_handle is None:
+                    self._host_handle = native.BoundsHandle(self._raw,
+                                                            self._table)
+        return self._host_handle
+
     def _bounds_one_host(self, query):
         """(start, count) via the native handle, or None if device-routed.
 
@@ -337,11 +350,7 @@ class SuffixTable:
         """
         if not self._route_host(1):
             return None
-        from suffix_tpu import native
-
-        if self._host_handle is None:
-            self._host_handle = native.BoundsHandle(self._raw, self._table)
-        return self._host_handle.bounds_one(query)
+        return self._ensure_host_handle().bounds_one(query)
 
     def positions(self, query) -> np.ndarray:
         """All byte offsets where ``query`` occurs, in SA (unordered) order.

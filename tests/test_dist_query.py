@@ -72,6 +72,18 @@ def test_unicode_byte_offsets(mesh):
     assert idx.positions("☃").tolist() == st.positions("☃").tolist()
 
 
+def test_any_position(mesh):
+    # Full surface parity with SuffixTable (src/table.rs:279-293): some
+    # position when present (the same arbitrary choice), None when absent.
+    text = b"the quick brown fox was quick."
+    st = SuffixTable.new(text)
+    idx = ShardedQueryIndex(text, mesh, sa=st.table())
+    for q in ["quick", "q", "zebra", "", "the", "."]:
+        assert idx.any_position(q) == st.any_position(q), q
+    assert idx.any_position_batch(["quick", "nope"]) == [
+        st.any_position("quick"), None]
+
+
 def test_build_from_scratch(mesh):
     # No precomputed SA: the sharded build feeds the sharded server.
     text = b"mississippi river mississippi delta"
