@@ -27,10 +27,20 @@ Sample → L-phase → S-phase is exactly the reference's seed-LMS → induce-L
 → induce-S structure (src/table.rs:536-573), with cursor scans replaced by
 segmented sorts. Output is bit-identical (the suffix array is unique).
 
-The LMS sample order is currently taken from the prefix-doubling engine
-(the recursion of the reference, P11, maps to a reduced-string build that
-will replace it); the derivation itself never looks at full ranks — only
-the LMS class ranks — and is pinned against the oracle in tests.
+Two engines share the derivation:
+
+- ``suffix_array_sais_recursive`` — the full parity engine: LMS-substring
+  sort -> naming -> RECURSIVE reduced-string build (the same pipeline at
+  every level, over the integer name alphabet) -> stratified derivation,
+  structurally matching the reference's recursion (src/table.rs:496-506)
+  to arbitrary depth.
+- ``suffix_array_sais`` — a hybrid by design: the LMS sample order comes
+  from the prefix-doubling engine, the derivation is the stratified
+  induce. Kept as an independent cross-check engine (two different
+  sample sources must derive identical arrays).
+
+The derivation itself never looks at full ranks — only the LMS class
+ranks — and is pinned against the oracle in tests.
 """
 
 from __future__ import annotations
@@ -63,14 +73,30 @@ def classify_types(text: jax.Array):
     return is_s, is_lms
 
 
-def bucket_layout(text: jax.Array):
-    """(counts, heads, tails) per symbol — the device Bins
-    (src/table.rs:686-720): histogram (Pallas on TPU) +
-    exclusive/inclusive scans."""
+def _int_histogram(values: jax.Array, n_bins: int) -> jax.Array:
+    """Histogram over an arbitrary integer alphabet (recursion levels,
+    where names range over [0, w)). The Pallas byte kernel caps at 512
+    bins; larger alphabets use the XLA scatter-add — the parity engine's
+    recursion levels are at most half the parent size, so this is never
+    the dominant cost."""
     from suffix_tpu.ops.pallas_kernels import byte_histogram
 
+    if n_bins <= 512:
+        return byte_histogram(values, n_bins)
+    ok = (values >= 0) & (values < n_bins)
+    safe = jnp.where(ok, values, 0)
+    return jnp.zeros((n_bins,), jnp.int32).at[safe].add(
+        jnp.where(ok, 1, 0))
+
+
+def bucket_layout(text: jax.Array, n_sym: int = N_SYM):
+    """(counts, heads, tails) per symbol — the device Bins
+    (src/table.rs:686-720): histogram (Pallas on TPU) +
+    exclusive/inclusive scans. ``n_sym`` generalizes the bucket table to
+    the reduced-name alphabets of the recursion (the reference's
+    ``LexNames`` text, src/table.rs:823-866)."""
     sym = (text + 1).astype(jnp.int32)
-    counts = byte_histogram(sym, N_SYM)
+    counts = _int_histogram(sym, n_sym)
     tails = jnp.cumsum(counts)
     heads = tails - counts
     return counts, heads, tails
@@ -125,10 +151,15 @@ def _segment_positions(seg_key: jax.Array):
     return idx - seg_start, seg_start
 
 
-@functools.partial(jax.jit, static_argnames=("max_rounds",))
+@functools.partial(jax.jit, static_argnames=("max_rounds", "n_sym"))
 def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
-               max_rounds: int = N_SYM) -> jax.Array:
-    """Full SA from LMS class ranks via stratified L/S derivation."""
+               max_rounds: int = N_SYM, n_sym: int = N_SYM) -> jax.Array:
+    """Full SA from LMS class ranks via stratified L/S derivation.
+
+    ``n_sym`` is the symbol-alphabet size (258 for the byte level; the
+    padded name count + 1 for recursion levels). The round bound follows
+    the strictly-descending character-chain depth, which is < n_sym.
+    """
     n = text.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     sym = (text + 1).astype(jnp.int32)
@@ -136,7 +167,7 @@ def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
     is_s, is_lms = classify_types(text)
     is_l = jnp.logical_not(is_s)
     m, gamma = run_decompose(text)
-    counts, heads, tails = bucket_layout(text)
+    counts, heads, tails = bucket_layout(text, n_sym)
     g_clip = jnp.minimum(gamma, n - 1)
     g_sym = jnp.take(sym, gamma, mode="fill", fill_value=-1)  # -1: text end
     g_is_lms = jnp.take(is_lms, g_clip) & (gamma < n)
@@ -145,7 +176,7 @@ def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
     # γ of an L-suffix: text end, an LMS suffix, or an L-suffix of a
     # strictly smaller bucket. Surrogate γ-key: (bucket*2 + class, rank)
     # with class L=0 < LMS=1; rank = resolved L-rank or LMS class rank.
-    l_seg_key = jnp.where(is_l, sym, jnp.int32(N_SYM))  # non-L sink segment
+    l_seg_key = jnp.where(is_l, sym, jnp.int32(n_sym))  # non-L sink segment
 
     def l_cond(state):
         l_rank, rounds = state
@@ -173,9 +204,9 @@ def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
         # OWN segment's last element via a 'nearest end to the right'
         # scan (2 = ready end, 1 = unready end, 0 = interior).
         seg_end_ready = _own_segment_end_value(sk, 2 - srdy)
-        bucket_head = jnp.take(heads, jnp.minimum(sk, N_SYM - 1))
+        bucket_head = jnp.take(heads, jnp.minimum(sk, n_sym - 1))
         cand = bucket_head + pos
-        ok = (sk < N_SYM) & (seg_end_ready == 2)
+        ok = (sk < n_sym) & (seg_end_ready == 2)
         new_rank = jnp.full((n,), INF, jnp.int32).at[sidx].set(
             jnp.where(ok, cand, INF)
         )
@@ -191,9 +222,9 @@ def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
     # bucket layout is global), so the γ-key is one word.
     from suffix_tpu.ops.pallas_kernels import byte_histogram
 
-    s_count = byte_histogram(jnp.where(is_s, sym, -1), N_SYM)
+    s_count = _int_histogram(jnp.where(is_s, sym, -1), n_sym)
     s_part_start = tails - s_count
-    s_seg_key = jnp.where(is_s, sym, jnp.int32(N_SYM))
+    s_seg_key = jnp.where(is_s, sym, jnp.int32(n_sym))
 
     def s_cond(state):
         s_rank, rounds = state
@@ -212,9 +243,9 @@ def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
         )
         pos, _ = _segment_positions(sk)
         seg_end_ready = _own_segment_end_value(sk, 2 - srdy)
-        base = jnp.take(s_part_start, jnp.minimum(sk, N_SYM - 1))
+        base = jnp.take(s_part_start, jnp.minimum(sk, n_sym - 1))
         cand = base + pos
-        ok = (sk < N_SYM) & (seg_end_ready == 2)
+        ok = (sk < n_sym) & (seg_end_ready == 2)
         new_rank = jnp.full((n,), INF, jnp.int32).at[sidx].set(
             jnp.where(ok, cand, INF)
         )
@@ -417,6 +448,98 @@ def _suffix_array_ints(vals: jax.Array) -> jax.Array:
 _lms_substring_ranks_jit = jax.jit(_lms_substring_ranks)
 
 
+def _lms_substring_ranks_wide(text: jax.Array, max_rounds: int = 1 << 30):
+    """(rank, is_lms, num_names, w): like ``_lms_substring_ranks`` but for
+    arbitrary integer alphabets (the recursion's name strings, the
+    reference's ``LexNames`` text, src/table.rs:823-866), where (char,type)
+    symbols no longer fit a 10-bit packing. Each round sorts by three
+    separate int32 symbol operands instead of one packed word."""
+    n = text.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_s, is_lms = classify_types(text)
+    # (char+1)*2 + is_S: L < S at equal characters, substring end (0)
+    # below everything — same symbol order as the packed byte path.
+    sym2 = ((text + 1) * 2 + jnp.where(is_s, 1, 0)).astype(jnp.int32)
+
+    planted = jnp.where(is_lms, idx, n)
+    nxt_incl = jax.lax.associative_scan(jnp.minimum, planted[::-1])[::-1]
+    sub_end = jnp.concatenate([nxt_incl[1:], jnp.full((1,), n, jnp.int32)])
+
+    sym_ext = jnp.concatenate([sym2, jnp.zeros((n,), jnp.int32)])
+    end_ext = jnp.concatenate([sub_end, jnp.full((n,), -1, jnp.int32)])
+
+    def sym_at(starts, off, j):
+        """Substring symbol at offset ``off + j`` (0 past the end)."""
+        s_clip = jnp.minimum(starts, 2 * n - 1)
+        ends = jnp.take(end_ext, s_clip)
+        pos = starts + off + j
+        v = jnp.take(sym_ext, jnp.minimum(pos, 2 * n - 1))
+        return jnp.where(pos <= ends, v, 0)
+
+    INFK = jnp.int32(INF)
+    w_lms = jnp.sum(is_lms.astype(jnp.int32))
+
+    # Round 0: rank by the first 3 symbols (three operands, unpacked).
+    k0 = jnp.where(is_lms, sym_at(idx, 0, 0), INFK)
+    k1 = jnp.where(is_lms, sym_at(idx, 0, 1), 0)
+    k2 = jnp.where(is_lms, sym_at(idx, 0, 2), 0)
+    k0s, k1s, k2s, order = jax.lax.sort((k0, k1, k2, idx), num_keys=3)
+    diff = ((k0s[1:] != k0s[:-1]) | (k1s[1:] != k1s[:-1])
+            | (k2s[1:] != k2s[:-1]))
+    flag = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), diff.astype(jnp.int32)]
+    )
+    dense = jnp.cumsum(flag)
+    rank = jnp.full((n,), INFK, jnp.int32).at[order].set(
+        jnp.where(k0s == INFK, INFK, dense)
+    )
+
+    def cond(state):
+        _, active_any, _, rounds = state
+        return active_any & (rounds < max_rounds)
+
+    def body(state):
+        rank, _, off, rounds = state
+        wa = jnp.where(is_lms, sym_at(idx, off, 0), 0)
+        wb = jnp.where(is_lms, sym_at(idx, off, 1), 0)
+        wc = jnp.where(is_lms, sym_at(idx, off, 2), 0)
+        r_s, a_s, b_s, c_s, order = jax.lax.sort(
+            (rank, wa, wb, wc, idx), num_keys=4
+        )
+        tie = ((r_s[1:] == r_s[:-1]) & (a_s[1:] == a_s[:-1])
+               & (b_s[1:] == b_s[:-1]) & (c_s[1:] == c_s[:-1]))
+        flag = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.logical_not(tie).astype(jnp.int32)]
+        )
+        dense = jnp.cumsum(flag)
+        new_rank = jnp.full((n,), INFK, jnp.int32).at[order].set(
+            jnp.where(r_s == INFK, INFK, dense)
+        )
+        # Still-active ties: tied AND some symbol in the window was real
+        # (the substring continues past it).
+        cont = (a_s[1:] != 0) | (b_s[1:] != 0) | (c_s[1:] != 0)
+        still = tie & cont & (r_s[1:] != INFK)
+        return new_rank, jnp.any(still), off + 3, rounds + 1
+
+    rank, _, _, _ = jax.lax.while_loop(
+        cond, body, (rank, jnp.bool_(True), jnp.int32(3), jnp.int32(0))
+    )
+    lms_sorted = jnp.sort(jnp.where(is_lms, rank, INFK))
+    uniq_flag = jnp.concatenate(
+        [
+            (lms_sorted[:1] != INFK).astype(jnp.int32),
+            ((lms_sorted[1:] != lms_sorted[:-1])
+             & (lms_sorted[1:] != INFK)).astype(jnp.int32),
+        ]
+    )
+    num_names = jnp.sum(uniq_flag)
+    return rank, is_lms, num_names, w_lms
+
+
+_lms_substring_ranks_wide_jit = jax.jit(_lms_substring_ranks_wide)
+
+
 @functools.partial(jax.jit, static_argnames=("w_pad",))
 def _build_reduced(sub_rank: jax.Array, is_lms: jax.Array, w_pad: int):
     """Reduced string of LMS-substring names in text order (padded to
@@ -449,33 +572,79 @@ def _mask_lms_rank(is_lms: jax.Array, sub_rank: jax.Array) -> jax.Array:
     return jnp.where(is_lms, sub_rank, 0)
 
 
-def _lms_rank_via_reduction(text: jax.Array, w_pad: int) -> jax.Array:
-    """LMS class ranks via the genuine SA-IS reduction, host-stepped.
+_MAX_RECURSION_DEPTH = 64  # w halves per level; 64 covers any int32 text
+
+
+def _lms_rank_via_reduction(text: jax.Array, w_pad: int, *,
+                            depth: int = 0,
+                            stats: dict | None = None) -> jax.Array:
+    """LMS class ranks via the genuine SA-IS reduction, host-stepped and
+    RECURSIVE (reference src/table.rs:496-506).
 
     Sorts LMS substrings, names them, and — only when names repeat —
-    builds the reduced string of names in text order, suffix-sorts it
-    with the integer doubling base, and maps reduced ranks back to LMS
-    positions. When every name is unique the substring ranks already ARE
-    the LMS suffix order and the recursion is skipped — the reference's
-    direct inverse permutation branch (src/table.rs:501-506).
+    builds the reduced string of names in text order, suffix-sorts it by
+    running THIS SAME PIPELINE on the integer name alphabet (classify →
+    LMS-substring sort → naming → recurse → stratified derivation), and
+    maps reduced ranks back to LMS positions. When every name is unique
+    the substring ranks already ARE the LMS suffix order and the
+    recursion terminates — the reference's direct inverse permutation
+    branch (src/table.rs:501-506). The reduced string has at most half
+    the parent's length, so the depth is bounded by log2(n), exactly as
+    the reference's in-place recursion (src/table.rs:466-468).
 
     Host-stepping keeps each device program small: the substring sort,
-    the reduced-string build, the integer suffix sort, and the map-back
+    the reduced-string build, the per-level derivation, and the map-back
     compile independently (and cache independently), instead of one
     monolithic multi-loop program.
+
+    ``stats`` (optional) records {"depth": max recursion depth reached}
+    so tests can pin that deep inputs (Fibonacci/Thue-Morse words)
+    genuinely recurse past level 1.
     """
-    sub_rank, is_lms, num_names, w_lms = _lms_substring_ranks_jit(text)
+    if depth >= _MAX_RECURSION_DEPTH:  # pragma: no cover - log2 bound
+        raise RuntimeError("SA-IS recursion exceeded its log2(n) bound")
+    if stats is not None:
+        stats["depth"] = max(stats.get("depth", 0), depth)
+    if depth == 0:
+        sub_rank, is_lms, num_names, w_lms = _lms_substring_ranks_jit(text)
+    else:
+        sub_rank, is_lms, num_names, w_lms = (
+            _lms_substring_ranks_wide_jit(text))
     if int(num_names) == int(w_lms):
         return _mask_lms_rank(is_lms, sub_rank)
     reduced, lms_ord = _build_reduced(sub_rank, is_lms, w_pad)
-    sa_reduced = _suffix_array_ints(reduced)  # pads (-1) sort first
+    sa_reduced = _sa_padded_sais_ints(reduced, depth=depth + 1, stats=stats)
     return _rank_from_reduced_sa(is_lms, lms_ord, sa_reduced, w_lms)
 
 
-def suffix_array_sais_recursive(data: bytes | np.ndarray) -> np.ndarray:
-    """Suffix array via the full SA-IS pipeline with genuine reduction
-    (substring sort -> naming -> reduced-string suffix sort -> stratified
-    induced derivation). uint32 offsets."""
+def _sa_padded_sais_ints(vals: jax.Array, *, depth: int,
+                         stats: dict | None = None) -> jax.Array:
+    """Full padded SA of an int32 name string (values >= 0, -1 padding at
+    the end) via one SA-IS level: reduction (recursing further if names
+    repeat) + stratified induced derivation over the integer alphabet.
+
+    This is the recursion's inner level — the reference runs ``sais`` on
+    ``&LexNames(reduced)`` (src/table.rs:499); here the identical device
+    pipeline runs with the symbol alphabet widened to the name space.
+    """
+    n_pad = vals.shape[0]
+    w_pad = bucket_size(max(n_pad // 2, 8))
+    lms_rank = _lms_rank_via_reduction(vals, w_pad, depth=depth,
+                                       stats=stats)
+    # Name alphabet: PAD+1 = 0 plus names shifted to 1..n_pad; chain
+    # depth (and so the derivation round bound) is < n_sym.
+    n_sym = n_pad + 2
+    return _derive_sa(vals, lms_rank, max_rounds=n_sym, n_sym=n_sym)
+
+
+def suffix_array_sais_recursive(data: bytes | np.ndarray,
+                                stats: dict | None = None) -> np.ndarray:
+    """Suffix array via the full SA-IS pipeline with genuine multi-level
+    recursion (substring sort -> naming -> recursive reduced-string build
+    -> stratified induced derivation). uint32 offsets.
+
+    ``stats`` (optional dict) receives {"depth": N} — the deepest
+    recursion level taken (0 = no reduction needed)."""
     arr = (
         np.frombuffer(bytes(data), dtype=np.uint8)
         if isinstance(data, (bytes, bytearray))
@@ -489,6 +658,6 @@ def suffix_array_sais_recursive(data: bytes | np.ndarray) -> np.ndarray:
     padded[:n] = arr
     t = jnp.asarray(padded)
     w_pad = bucket_size(max(n_pad // 2, 8))
-    lms_rank = _lms_rank_via_reduction(t, w_pad)
+    lms_rank = _lms_rank_via_reduction(t, w_pad, stats=stats)
     sa_full = np.asarray(_derive_sa(t, lms_rank))
     return sa_full[n_pad - n:].astype(np.uint32)

@@ -159,3 +159,59 @@ def test_sais_recursive_dna(dna_10k):
         suffix_array_sais_recursive(dna_10k),
         SuffixTable.new(dna_10k).table(),
     )
+
+
+# ---- multi-level recursion (reference src/table.rs:496-506 semantics) ----
+
+
+def _fib_word(k: int) -> bytes:
+    a, b = "a", "ab"
+    for _ in range(k):
+        a, b = b, b + a
+    return b.encode()
+
+
+def _thue_morse(k: int) -> bytes:
+    s = "0"
+    for _ in range(k):
+        s = s + "".join("1" if c == "0" else "0" for c in s)
+    return s.encode()
+
+
+@pytest.mark.parametrize(
+    "name,text,min_depth",
+    [
+        ("fibonacci", _fib_word(10), 2),
+        ("thue_morse", _thue_morse(8), 2),
+        ("fibonacci_big", _fib_word(14), 3),
+        ("period3", b"abcabcabcabcabcabcabcabcabcabd" * 4, 1),
+    ],
+)
+def test_sais_recursion_depth(name, text, min_depth):
+    # Words whose level-1 reduced name strings still carry duplicate
+    # names force the recursion past the first reduction — depth must be
+    # taken genuinely (>1 for Fibonacci/Thue-Morse), and the result must
+    # stay oracle-exact at every depth.
+    stats = {}
+    sa = suffix_array_sais_recursive(text, stats=stats)
+    assert stats["depth"] >= min_depth, (name, stats)
+    assert np.array_equal(sa, naive_table(text)), name
+
+
+def test_sais_inner_level_matches_int_oracle():
+    # The recursion's inner level (_sa_padded_sais_ints) against the
+    # standalone integer-alphabet doubling builder on random name-like
+    # strings: same padded-SA contract, independent algorithms.
+    from suffix_tpu.ops.padding import bucket_size
+    from suffix_tpu.ops.sais import _sa_padded_sais_ints, _suffix_array_ints
+
+    rng = np.random.default_rng(7)
+    for n, hi in [(5, 2), (13, 3), (29, 5), (64, 9), (200, 4)]:
+        vals = rng.integers(0, hi, size=n).astype(np.int32)
+        n_pad = bucket_size(n)
+        padded = np.full((n_pad,), -1, np.int32)
+        padded[:n] = vals
+        dev = jnp.asarray(padded)
+        got = np.asarray(_sa_padded_sais_ints(dev, depth=1))
+        want = np.asarray(_suffix_array_ints(dev))
+        assert np.array_equal(got, want), (n, hi)
