@@ -30,6 +30,10 @@ def _cmd_build(args) -> int:
         print(f"error: cannot read {args.file}: {e.strerror}", file=sys.stderr)
         return 1
     t0 = time.perf_counter()
+    if args.index_dtype == "u64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     if args.engine == "sharded":
         from suffix_tpu.parallel.dist_build import (
             suffix_array_sharded, suffix_array_sharded_stepped)
@@ -39,9 +43,11 @@ def _cmd_build(args) -> int:
         if args.checkpoint:
             sa = suffix_array_sharded_stepped(
                 data, mesh, checkpoint_path=args.checkpoint,
-                resume=args.resume)
+                resume=args.resume, index_dtype=args.index_dtype)
         else:
-            sa = suffix_array_sharded(args.file, mesh)  # streamed from mmap
+            # streamed from mmap
+            sa = suffix_array_sharded(args.file, mesh,
+                                      index_dtype=args.index_dtype)
         st = SuffixTable.from_parts(data, sa)
     elif args.engine == "naive":
         st = SuffixTable.new_naive(data)

@@ -123,7 +123,7 @@ def _halo_fetch3(rank_home: jax.Array, k: jax.Array, n_local: int,
     n_shift = ks.shape[0]
     if n_dev == 1:
         rank_ext = jnp.concatenate(
-            [rank_home, jnp.full((n_local,), -1, jnp.int32)]
+            [rank_home, jnp.full((n_local,), -1, rank_home.dtype)]
         )
         starts = jnp.minimum(ks, n_local)
         rows = [jax.lax.dynamic_slice(rank_ext, (starts[i],), (n_local,))
@@ -185,9 +185,10 @@ def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
     global order in sorted layout (device d holds ranks [d*L, (d+1)*L)).
     """
     n_total = n_local * n_dev
+    dtype = rank_home.dtype  # int32, or int64 for u64 builds
     me = jax.lax.axis_index(AXIS)
-    lidx = jnp.arange(n_local, dtype=jnp.int32)
-    gidx = (me * n_local + lidx).astype(jnp.int32)
+    lidx = jnp.arange(n_local, dtype=dtype)
+    gidx = (me * n_local + lidx).astype(dtype)
 
     s1, s2, s3 = _halo_fetch3(rank_home, k, n_local, n_dev)
 
@@ -202,38 +203,41 @@ def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
     )
 
     # Dense re-rank in sorted order.
-    flag = jnp.zeros((n_local,), jnp.int32)
+    flag = jnp.zeros((n_local,), dtype)
     for col in (r, c1, c2, c3):
         flag = flag | (col != _left_boundary(col, n_dev, fill=-2)).astype(
-            jnp.int32
+            dtype
         )
     flag = jnp.where((me == 0) & (lidx == 0), 0, flag)
     local_cum = jnp.cumsum(flag)
     totals = jax.lax.all_gather(local_cum[-1], AXIS)  # (n_dev,)
     offset = jnp.sum(
-        jnp.where(jnp.arange(n_dev) < me, totals, 0), dtype=jnp.int32
+        jnp.where(jnp.arange(n_dev) < me, totals, 0), dtype=dtype
     )
     dense = local_cum + offset
 
     last_rank = jax.lax.psum(
         jnp.where(me == n_dev - 1, dense[-1], 0), AXIS
     )
-    done = (last_rank + 1) == n_total
+    done = (last_rank + 1) == jnp.asarray(n_total, dtype)
 
     # Route dense ranks back to home layout: global sort by suffix idx.
     _, rank_new = _bitonic_global_sort(
         [idx, dense], num_keys=1, n_local=n_local, n_dev=n_dev
     )
     # k == 0 (a resumed legacy checkpoint) ordered by single chars.
-    next_k = jnp.where(k == 0, 1, k * 4)
+    next_k = jnp.where(k == 0, 1, k * 4).astype(dtype)
     return rank_new, idx, next_k, done
 
 
-def _dist_build_shard(text_local: jax.Array, n_local: int, n_dev: int):
+def _dist_build_shard(text_local: jax.Array, n_local: int, n_dev: int,
+                      index_dtype=jnp.int32):
     """Per-device body (under shard_map): full build, returns the local
-    SA slice in sorted layout."""
+    SA slice in sorted layout. ``index_dtype``: int32, or int64 for
+    corpora past the 2^31-byte cap (the sharded analogue of
+    ops/prefix_doubling.py's u64 option)."""
     n_total = n_local * n_dev
-    rank0 = _packed_initial_rank(text_local, n_dev)
+    rank0 = _packed_initial_rank(text_local, n_dev).astype(index_dtype)
 
     def round_step(state):
         rank_home, _, k, _ = state
@@ -245,14 +249,17 @@ def _dist_build_shard(text_local: jax.Array, n_local: int, n_dev: int):
 
     # Always run the first round (k=3: packed keys order by 3 characters,
     # so the round orders by 12).
-    state = _round_body(rank0, jnp.int32(3), n_local, n_dev)
+    state = _round_body(rank0, jnp.asarray(3, index_dtype), n_local, n_dev)
     _, sa_local, _, _ = jax.lax.while_loop(cond, round_step, state)
     return sa_local
 
 
-@functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))
-def _dist_build_jit(text_sharded: jax.Array, n_local: int, n_dev: int, mesh: Mesh):
-    fn = functools.partial(_dist_build_shard, n_local=n_local, n_dev=n_dev)
+@functools.partial(jax.jit,
+                   static_argnames=("n_local", "n_dev", "mesh", "index_dtype"))
+def _dist_build_jit(text_sharded: jax.Array, n_local: int, n_dev: int,
+                    mesh: Mesh, index_dtype=jnp.int32):
+    fn = functools.partial(_dist_build_shard, n_local=n_local, n_dev=n_dev,
+                           index_dtype=index_dtype)
     return jax.shard_map(
         fn, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS), check_vma=False
     )(text_sharded)
@@ -277,14 +284,36 @@ def _initial_rank_jit(text_sharded: jax.Array, n_dev: int, mesh: Mesh):
     )(text_sharded)
 
 
+def _resolve_index_dtype(index_dtype: str, n_total: int):
+    """(jnp dtype, np output dtype) for a sharded build of n_total slots."""
+    if index_dtype == "auto":
+        index_dtype = "u64" if n_total >= (1 << 31) else "u32"
+    if index_dtype == "u64":
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "index_dtype='u64' requires jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))")
+        return jnp.int64, np.uint64
+    if n_total >= (1 << 31):
+        raise ValueError(
+            "text needs >= 2^31 padded bytes: pass index_dtype='u64'")
+    return jnp.int32, np.uint32
+
+
 def suffix_array_sharded(data: bytes | np.ndarray | str,
-                         mesh: Mesh) -> np.ndarray:
-    """Suffix array (uint32) built across all devices of ``mesh``.
+                         mesh: Mesh,
+                         index_dtype: str = "u32") -> np.ndarray:
+    """Suffix array built across all devices of ``mesh``.
 
     ``data`` may be bytes, a uint8 array, or a file path — paths are
     streamed shard-by-shard from an mmap (utils/io.py), never fully
     materialized as a host int32 copy. Output is bit-identical to the
     single-device engine and the reference.
+
+    ``index_dtype``: "u32" (default; total padded size < 2^31), "u64"
+    (beyond the reference's u32 cap, src/table.rs:68-77; requires
+    jax_enable_x64 — the scale-out configuration that most needs the wide
+    index), or "auto".
     """
     from suffix_tpu.utils.io import device_corpus, open_corpus
 
@@ -301,9 +330,11 @@ def suffix_array_sharded(data: bytes | np.ndarray | str,
     # Local shard >= 8 keeps degenerate tiny shapes out of the kernels.
     n_local = max(8, -(-n // n_dev))
     n_total = n_local * n_dev
+    dtype, out_dtype = _resolve_index_dtype(index_dtype, n_total)
     sharded, _ = device_corpus(arr, mesh, n_pad=n_total)
-    sa_full = np.asarray(_dist_build_jit(sharded, n_local, n_dev, mesh))
-    return sa_full[n_total - n:].astype(np.uint32)
+    sa_full = np.asarray(
+        _dist_build_jit(sharded, n_local, n_dev, mesh, index_dtype=dtype))
+    return sa_full[n_total - n:].astype(out_dtype)
 
 
 def suffix_array_sharded_stepped(
@@ -312,6 +343,7 @@ def suffix_array_sharded_stepped(
     checkpoint_path: str | None = None,
     resume: bool = False,
     round_hook=None,
+    index_dtype: str = "u32",
 ) -> np.ndarray:
     """Host-driven sharded build with checkpoint/resume between rounds.
 
@@ -335,6 +367,7 @@ def suffix_array_sharded_stepped(
     n_dev = _check_pow2(mesh)
     n_local = max(8, -(-n // n_dev))
     n_total = n_local * n_dev
+    dtype, out_dtype = _resolve_index_dtype(index_dtype, n_total)
     shard = NamedSharding(mesh, P(AXIS))
 
     state = None
@@ -343,8 +376,8 @@ def suffix_array_sharded_stepped(
             with np.load(checkpoint_path) as z:
                 if int(z["n_total"]) == n_total:
                     state = (
-                        jax.device_put(z["rank"], shard),
-                        jax.device_put(z["sa"], shard),
+                        jax.device_put(z["rank"].astype(dtype), shard),
+                        jax.device_put(z["sa"].astype(dtype), shard),
                         int(z["k"]),
                         bool(z["done"]),
                     )
@@ -354,13 +387,13 @@ def suffix_array_sharded_stepped(
         padded = np.full((n_total,), PAD, dtype=np.int32)
         padded[:n] = arr
         text_sharded = jax.device_put(padded, shard)
-        rank0 = _initial_rank_jit(text_sharded, n_dev, mesh)
+        rank0 = _initial_rank_jit(text_sharded, n_dev, mesh).astype(dtype)
         state = (rank0, None, 3, False)
 
     rank, sa, k, done = state
     while not done and k < n_total:
         rank, sa, next_k, done_arr = _dist_step_jit(
-            rank, jnp.int32(k), n_local, n_dev, mesh
+            rank, jnp.asarray(k, dtype), n_local, n_dev, mesh
         )
         done = bool(done_arr)
         k = int(next_k)
@@ -381,4 +414,4 @@ def suffix_array_sharded_stepped(
         if round_hook is not None:
             round_hook(k, done)
     sa_full = np.asarray(sa)
-    return sa_full[n_total - n:].astype(np.uint32)
+    return sa_full[n_total - n:].astype(out_dtype)
