@@ -5,10 +5,13 @@ The reference serves queries from a single in-process table
 array sharded over a device mesh:
 
 - the suffix table and its packed 18-symbol rank keys (ops/search2.py) are
-  sharded by contiguous *rank block* over the 1-D mesh — the heavy arrays
-  (28 bytes/char of the ~32 bytes/char total) scale with mesh size;
-- the text stays replicated (4 bytes/char as int32) — it is needed for the
-  long-query byte refinement and for building the local key shards;
+  sharded by contiguous *rank block* over the 1-D mesh;
+- the text is sharded by contiguous *position block*: every per-device
+  array scales with mesh size (~32/D bytes/char), so the index genuinely
+  grows with total mesh HBM. Key building packs words in home layout
+  (right-neighbor halo only) and routes them to rank blocks by ownership;
+  the long-query byte refinement and LCP survivor windows fetch text by
+  ownership + psum, the same collective pattern as the table probe;
 - a batch of queries is replicated; every device runs the merge-join fence
   engine over its *local* key block, producing the per-device count of
   local keys below each query's lower/upper bound. Because rank blocks are
@@ -16,9 +19,10 @@ array sharded over a device mesh:
   local counts — the collective form of the binary search;
 - queries longer than the 18 packed symbols refine with the same lockstep
   batched binary search as the single-chip engine, except the probe
-  `table[mid]` is resolved by ownership: the owning device contributes the
-  value, everyone else zero, and one `psum` broadcasts it. All devices run
-  the identical deterministic loop, so the collective stays in lockstep.
+  `table[mid]` AND the suffix text windows are resolved by ownership: the
+  owning device contributes the value, everyone else zero, and one `psum`
+  broadcasts it. All devices run the identical deterministic loop, so the
+  collective stays in lockstep.
 
 Results are bit-identical to the single-chip engine and the reference
 (same unordered-slice, empty-query, and byte-offset semantics), pinned by
@@ -36,28 +40,97 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from suffix_tpu.ops.padding import PAD, bucket_size
 from suffix_tpu.ops import search2 as s2
-from suffix_tpu.ops.search import _cmp_suffix_query
 from suffix_tpu.parallel.mesh import AXIS
 
 
-def _build_keys_shard(text: jax.Array, table_local: jax.Array,
-                      n_table: jax.Array, n_local: int):
+def _gather_sharded(x_local: jax.Array, gpos: jax.Array, n_local: int):
+    """x[gpos] over a block-sharded array for REPLICATED global positions
+    (identical ``gpos`` on every device, e.g. the lockstep refine probes):
+    the owning device contributes the value, everyone else zero, one psum
+    broadcasts. NOT valid for per-device-different indices — the psum
+    would sum answers to different devices' questions; use
+    _collect_by_position for those."""
+    me = jax.lax.axis_index(AXIS)
+    base = me * n_local
+    local = (gpos >= base) & (gpos < base + n_local)
+    li = jnp.clip(gpos - base, 0, n_local - 1)
+    v = jnp.where(local, jnp.take(x_local, li), 0)
+    return jax.lax.psum(v, AXIS)
+
+
+def _collect_by_position(x_home: jax.Array, gpos: jax.Array, n_local: int,
+                         n_dev: int):
+    """x[gpos] over a block-sharded array where every device asks for its
+    OWN index set (``gpos`` differs per device, e.g. ``table_local``).
+
+    D-step ring rotation: each step every device holds one remote block
+    (O(n_local) transient — the array is never replicated) and picks the
+    elements that block owns. Each global position has exactly one owner,
+    so the accumulated sum is the plain gather.
+    """
+    owner = gpos // n_local
+    li = gpos - owner * n_local
+    if n_dev == 1:
+        return jnp.take(x_home, li)
+    me = jax.lax.axis_index(AXIS)
+    perm = [(j, (j - 1) % n_dev) for j in range(n_dev)]  # rotate left
+
+    def step(k, carry):
+        blk, out = carry
+        src = (me + k) % n_dev
+        out = out + jnp.where(owner == src, jnp.take(blk, li), 0)
+        return jax.lax.ppermute(blk, AXIS, perm), out
+
+    _, out = jax.lax.fori_loop(
+        0, n_dev, step, (x_home, jnp.zeros(gpos.shape, x_home.dtype)))
+    return out
+
+
+def _fetch_text(text_local: jax.Array, pos: jax.Array, n_text: jax.Array,
+                n_local: int, n_dev: int):
+    """text[pos] from the position-block-sharded text; PAD (-1) outside
+    [0, n_text) — the sentinel semantics of the replicated-path
+    ``jnp.take(text, pos, mode="fill", fill_value=PAD)``."""
+    clipped = jnp.clip(pos, 0, n_local * n_dev - 1)
+    v = _gather_sharded(text_local, clipped, n_local)
+    return jnp.where((pos >= 0) & (pos < n_text), v, PAD)
+
+
+def _build_keys_shard(text_local: jax.Array, table_local: jax.Array,
+                      n_table: jax.Array, n_local: int, n_dev: int):
     """Local packed rank keys for a contiguous rank block (under shard_map).
 
     Same packing as ops/search2.build_query_index: 6 words of three 9-bit
     symbols; ranks at or past n_table get PAD_KEY (above every real key).
+    The text arrives position-block-sharded: words pack in home layout
+    (only a right-neighbor halo of KEY_SYMS-1 symbols crosses devices),
+    then route to the rank block by ownership + psum.
     """
-    n_pad = text.shape[0]
     me = jax.lax.axis_index(AXIS)
     grank = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
-    sym = (text + 1).astype(jnp.int32)
-    sym_ext = jnp.concatenate([sym, jnp.zeros((s2.KEY_SYMS,), jnp.int32)])
-    s = [sym_ext[k:k + n_pad] for k in range(s2.KEY_SYMS)]
+    sym = (text_local + 1).astype(jnp.int32)  # PAD -> 0 (past-end sentinel)
+    if n_dev == 1:
+        halo = jnp.zeros((s2.KEY_SYMS - 1,), jnp.int32)
+    else:
+        # KEY_SYMS-1 symbols past the local block; may span several
+        # right neighbors when the shard is tiny, so resolve by the ring
+        # collect (0 past the global padded end). Per-device-different
+        # positions, so ownership+psum does NOT apply here.
+        gpos = (me + 1) * n_local + jnp.arange(s2.KEY_SYMS - 1,
+                                               dtype=jnp.int32)
+        valid = gpos < n_local * n_dev
+        v = _collect_by_position(sym, jnp.where(valid, gpos, 0),
+                                 n_local, n_dev)
+        halo = jnp.where(valid, v, 0)
+    ext = jnp.concatenate([sym, halo])
+    s = [ext[k:k + n_local] for k in range(s2.KEY_SYMS)]
     mask_real = grank < n_table
     pk = []
     for w in range(s2.KEY_WORDS):
-        word_text = s2._pack3(s[3 * w], s[3 * w + 1], s[3 * w + 2])
-        word = jnp.take(word_text, table_local)
+        word_home = s2._pack3(s[3 * w], s[3 * w + 1], s[3 * w + 2])
+        # table_local differs per device: route home-layout words to this
+        # rank block with the ring collect, not psum.
+        word = _collect_by_position(word_home, table_local, n_local, n_dev)
         pk.append(jnp.where(mask_real, word, jnp.int32(s2.PAD_KEY)))
     # Fences + blocked layout, materialized once (strided extraction per
     # batch costs ~25 ms/4M on v5e — see ops/search2.build_query_index).
@@ -99,21 +172,37 @@ def _probe_table(table_local: jax.Array, mid: jax.Array, n_local: int):
     return jax.lax.psum(v, AXIS)
 
 
-def _refine_dist(text, n_text, table_local, queries, qlens, start, end,
-                 n_local: int):
-    """Batched byte-level (lower, upper) refinement over the sharded table.
+def _refine_dist(text_local, n_text, table_local, queries, qlens, start,
+                 end, n_local: int, n_dev: int):
+    """Batched byte-level (lower, upper) refinement over the sharded table
+    AND sharded text.
 
     Lockstep binary searches (identical state on every device); each probe
-    resolves table[mid] with one psum. Mirrors ops/search2._refine_one.
+    resolves table[mid] with one psum and the (Q, m) suffix windows with a
+    second — comparator semantics identical to ops/search._cmp_suffix_query
+    (PAD past the text end = implicit sentinel; first-mismatch decides).
     """
-    cmp_b = jax.vmap(_cmp_suffix_query, in_axes=(None, None, 0, 0, 0))
+    m = queries.shape[1]
+    qpos = jnp.arange(m, dtype=jnp.int32)[None, :]
+
+    def cmp_b(sufi):
+        offs = sufi[:, None] + qpos
+        window = _fetch_text(text_local, offs, n_text, n_local, n_dev)
+        neq = (window != queries) & (qpos < qlens[:, None])
+        any_neq = jnp.any(neq, axis=1)
+        first = jnp.argmax(neq, axis=1)
+        w_at = jnp.take_along_axis(window, first[:, None], axis=1)[:, 0]
+        q_at = jnp.take_along_axis(queries, first[:, None], axis=1)[:, 0]
+        lt_full = any_neq & (w_at < q_at)
+        gt_prefix = any_neq & (w_at > q_at)
+        return lt_full, gt_prefix
 
     def lower_step(lr):
         left, right = lr
         active = left < right
         mid = (left + right) // 2
         sufi = _probe_table(table_local, mid, n_local).astype(jnp.int32)
-        lt, _ = cmp_b(text, n_text, sufi, queries, qlens)
+        lt, _ = cmp_b(sufi)
         pred = jnp.logical_not(lt)
         nl = jnp.where(pred, left, mid + 1)
         nr = jnp.where(pred, mid, right)
@@ -124,7 +213,7 @@ def _refine_dist(text, n_text, table_local, queries, qlens, start, end,
         active = left < right
         mid = (left + right) // 2
         sufi = _probe_table(table_local, mid, n_local).astype(jnp.int32)
-        _, gt = cmp_b(text, n_text, sufi, queries, qlens)
+        _, gt = cmp_b(sufi)
         nl = jnp.where(gt, left, mid + 1)
         nr = jnp.where(gt, mid, right)
         return jnp.where(active, nl, left), jnp.where(active, nr, right)
@@ -157,7 +246,7 @@ def _bounds_shard(text, n_text, table_local, pk_fence, pk_block, queries,
         rs = jnp.where(long_q, start, 0)
         re = jnp.where(long_q, end, 0)
         r_start, r_end = _refine_dist(text, n_text, table_local, queries,
-                                      qlens, rs, re, n_local)
+                                      qlens, rs, re, n_local, n_dev)
         start = jnp.where(long_q, r_start, start)
         end = jnp.where(long_q, r_end, end)
 
@@ -206,32 +295,41 @@ def _lcp_shard(text, n_text, table_local, pk_block, n_table,
         lcp = jnp.where(undecided, lcp + matched, lcp)
         undecided = undecided & eq_word
     # Survivors (pairs equal through all packed symbols): windowed byte
-    # compare against the replicated text, lockstep until all resolve.
+    # compare against the position-sharded text. The survivor bases differ
+    # per device, so each round fetches both windows with ONE ring collect
+    # (prev/cur rows stacked); the loop itself stays lockstep by carrying
+    # a psum'd global-active flag — every device runs the same number of
+    # rounds, which the ring's ppermutes require.
     a = table_local
     prev_t = left_of(table_local, 0)
     offs = jnp.arange(block, dtype=jnp.int32)
+    n_pad = n_local * n_dev
 
-    def gather_rows(base, off):
-        pos = base[:, None] + off[None, :]
-        w = jnp.take(text, pos, mode="fill", fill_value=-1)
-        return jnp.where(pos < n_text, w, -1)
+    def gather_rows2(off):
+        base = jnp.concatenate([prev_t, a]).astype(jnp.int32)
+        pos = base[:, None] + (offs + off)[None, :]
+        v = _collect_by_position(
+            text, jnp.clip(pos, 0, n_pad - 1), n_local, n_dev)
+        v = jnp.where((pos >= 0) & (pos < n_text), v, PAD)
+        return v[:n_local], v[n_local:]
 
     def cond(state):
-        _, active, _ = state
-        return jnp.any(active)
+        _, _, _, global_active = state
+        return global_active
 
     def body(state):
-        l, active, off = state
-        wa = gather_rows(prev_t.astype(jnp.int32), offs + off)
-        wb = gather_rows(a.astype(jnp.int32), offs + off)
+        l, active, off, _ = state
+        wa, wb = gather_rows2(off)
         eq = wa == wb
         run = jnp.cumprod(eq.astype(jnp.int32), axis=1).sum(axis=1)
         l = jnp.where(active, l + run, l)
         active = active & (run == block) & (off + block < n_text)
-        return l, active, off + block
+        ga = jax.lax.psum(jnp.any(active).astype(jnp.int32), AXIS) > 0
+        return l, active, off + block, ga
 
-    lcp, _, _ = jax.lax.while_loop(
-        cond, body, (lcp, undecided, jnp.int32(3 * s2.KEY_WORDS))
+    ga0 = jax.lax.psum(jnp.any(undecided).astype(jnp.int32), AXIS) > 0
+    lcp, _, _, _ = jax.lax.while_loop(
+        cond, body, (lcp, undecided, jnp.int32(3 * s2.KEY_WORDS), ga0)
     )
     return jnp.where(valid, lcp, 0)
 
@@ -242,7 +340,7 @@ def _lcp_jit(text, n_text, table, pk_block, n_table, n_local: int,
     fn = functools.partial(_lcp_shard, n_local=n_local, n_dev=n_dev)
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
+        in_specs=(P(AXIS), P(), P(AXIS), P(AXIS), P()),
         out_specs=P(AXIS), check_vma=False,
     )(text, n_text, table, pk_block, n_table)
 
@@ -252,8 +350,10 @@ class ShardedQueryIndex:
 
     Matches SuffixTable query semantics bit-for-bit (src/table.rs:197-293):
     unordered SA-slice positions, byte offsets, empty query matches
-    nothing. The table and rank keys are sharded; per-device HBM is
-    ~(4 + 28/D) bytes/char versus ~32 on one chip.
+    nothing. The text, table, and rank keys are ALL sharded; per-device
+    HBM is ~32/D bytes/char versus ~32 on one chip — the index scales
+    with total mesh HBM (pinned by test_dist_query.py's per-device
+    byte accounting).
     """
 
     def __init__(self, data: bytes | np.ndarray, mesh: Mesh,
@@ -278,9 +378,8 @@ class ShardedQueryIndex:
         padded_tab = np.zeros((n_pad,), np.int32)
         padded_tab[:self.n] = self._sa_host
 
-        rep = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P(AXIS))
-        self._text = jax.device_put(padded_text, rep)
+        self._text = jax.device_put(padded_text, shard)
         self._table = jax.device_put(padded_tab, shard)
         self._pk_fence, self._pk_block = _keys_jit(
             self._text, self._table, jnp.int32(self.n),
@@ -374,9 +473,9 @@ class ShardedQueryIndex:
 
 @functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))
 def _keys_jit(text, table, n_table, n_local: int, n_dev: int, mesh: Mesh):
-    fn = functools.partial(_build_keys_shard, n_local=n_local)
+    fn = functools.partial(_build_keys_shard, n_local=n_local, n_dev=n_dev)
     return jax.shard_map(
-        fn, mesh=mesh, in_specs=(P(), P(AXIS), P()),
+        fn, mesh=mesh, in_specs=(P(AXIS), P(AXIS), P()),
         out_specs=((P(AXIS),) * s2.KEY_WORDS, P(AXIS)), check_vma=False,
     )(text, table, n_table)
 
@@ -389,7 +488,7 @@ def _bounds_jit(text, n_text, table, pk_fence, pk_block, queries, qlens,
                            max_qlen=max_qlen)
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), (P(AXIS),) * s2.KEY_WORDS, P(AXIS),
+        in_specs=(P(AXIS), P(), P(AXIS), (P(AXIS),) * s2.KEY_WORDS, P(AXIS),
                   P(), P(), P()),
         out_specs=(P(), P()), check_vma=False,
     )(text, n_text, table, pk_fence, pk_block, queries, qlens, n_table)
