@@ -20,5 +20,7 @@ dryrun:
 native:
 	g++ -O3 -march=native -std=c++17 -shared -fPIC \
 		suffix_tpu/native/csrc/saistpu.cpp -o suffix_tpu/native/csrc/libsaistpu.so
+	python -c "from suffix_tpu import native; assert native._load_fastpath()"
+
 
 .PHONY: test test-fast bench examples dryrun native

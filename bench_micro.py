@@ -4,10 +4,15 @@ Each row reproduces one bench from the reference's tests/bench.rs (corpus,
 pattern, and operation identical) and prints ours vs the published
 ns/iter (reference README.md:86-116, author's machine, hot cache).
 
-Two columns of "ours":
+Three columns of "ours":
 - host   — the hybrid serving route a user actually gets for single
-           operations (native C++ via cached ctypes; engine="auto",
-           query_route="host").
+           operations (native C++ via the CPython extension, ctypes
+           fallback; engine="auto", query_route="host"). Includes all
+           Python-interpreter cost of the call.
+- C-only — the same operation timed inside a pure C loop (no
+           interpreter, no FFI): the apples-to-apples row against the
+           reference's in-process #[bench] numbers, which pay no
+           language-boundary cost either.
 - device — amortized per-op device time when the same operation is
            batched on the TPU (only with --device; requires the TPU and
            a warm compile cache; per-query = batch time / batch size).
@@ -64,7 +69,8 @@ def timeit(fn, min_time=0.3, max_iter=200_000) -> float:
     return total / n * 1e9
 
 
-def host_rows() -> dict[str, float]:
+def host_rows() -> tuple[dict[str, float], dict[str, float]]:
+    """(host_ns, c_only_ns) per bench row."""
     from suffix_tpu import SuffixTable
     from suffix_tpu.ops.naive import naive_table_np
 
@@ -74,6 +80,7 @@ def host_rows() -> dict[str, float]:
         dna_small = f.read()
 
     rows = {}
+    c_rows = {}
     rows["naive_small"] = timeit(lambda: naive_table_np(b"mississippi"))
 
     try:
@@ -86,6 +93,16 @@ def host_rows() -> dict[str, float]:
                                         min_time=1.0)
         rows["sais_dna_medium"] = timeit(lambda: native.sais(dna_medium),
                                          min_time=1.0, max_iter=256)
+        fp = native._load_fastpath()
+        if fp is not None:
+            c_rows["sais_small"] = fp.sais_bench(b"mississippi", 200_000)
+            c_rows["sais_dna_small"] = fp.sais_bench(dna_small, 1_000)
+            c_rows["sais_dna_medium"] = fp.sais_bench(dna_medium, 100)
+            # The reference-shaped naive oracle (std::sort of offsets,
+            # full suffix compares — src/table.rs:367-376) in C.
+            c_rows["naive_small"] = fp.naive_bench(b"mississippi", 200_000)
+            c_rows["naive_dna_small"] = fp.naive_bench(dna_small, 200)
+            c_rows["naive_dna_medium"] = fp.naive_bench(dna_medium, 20)
 
         # naive_dna_*: the reference times ITS O(n^2 log n) oracle on the
         # fixtures (tests/bench.rs:25-47). Ours is the vectorized lexsort
@@ -114,6 +131,9 @@ def host_rows() -> dict[str, float]:
         ):
             fn = getattr(st, op)
             rows[name] = timeit(lambda fn=fn, q=q: fn(q))
+            c = st._ensure_host_handle().bench_c_only(q, op=op)
+            if c is not None:
+                c_rows[name] = c
     except Exception as e:  # pragma: no cover
         print(f"[native unavailable: {e}]")
 
@@ -123,7 +143,7 @@ def host_rows() -> dict[str, float]:
     rows["search_scan_exists_one"] = timeit(lambda: dna_medium.find(b"C"))
     rows["search_scan_exists_many"] = timeit(
         lambda: dna_medium.find(MANY.encode()))
-    return rows
+    return rows, c_rows
 
 
 def device_rows() -> dict[str, float]:
@@ -202,30 +222,37 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    host = host_rows()
+    host, c_only = host_rows()
     dev = device_rows() if args.device else {}
 
     if args.json:
-        print(json.dumps({"host_ns": host, "device_amortized_ns": dev,
+        print(json.dumps({"host_ns": host, "c_only_ns": c_only,
+                          "device_amortized_ns": dev,
                           "published_ns": PUBLISHED}))
         return
 
-    hdr = f"{'bench (tests/bench.rs)':36s} {'published':>12s} {'host':>12s} {'device*':>12s} {'vs pub':>8s}"
+    hdr = (f"{'bench (tests/bench.rs)':36s} {'published':>12s} "
+           f"{'host':>12s} {'C-only':>12s} {'device*':>12s} {'vs pub':>8s}")
     print(hdr)
     print("-" * len(hdr))
     for name, pub in PUBLISHED.items():
         h = host.get(name)
+        c = c_only.get(name)
         d = dev.get(name)
-        best = min(x for x in (h, d) if x is not None) if (h or d) else None
+        best = (min(x for x in (h, c, d) if x is not None)
+                if (h or c or d) else None)
         ratio = f"{pub / best:7.2f}x" if best else "     n/a"
         print(f"{name:36s} {pub:>10d}ns "
               f"{(f'{h:>10.0f}ns' if h is not None else '         -')} "
+              f"{(f'{c:>10.0f}ns' if c is not None else '         -')} "
               f"{(f'{d:>10.1f}ns' if d is not None else '         -')} "
               f"{ratio}")
     print("\n* device = per-op share of an amortized 256k-query / 16-build "
           "batch on the TPU (the batched architecture's habitat); host = "
-          "single-op hybrid route (native C++). Published = reference "
-          "README.md:86-116, author's machine.")
+          "single-op hybrid route (Python-visible, CPython extension); "
+          "C-only = same operation in a pure C loop, the apples-to-apples "
+          "comparison against the reference's in-process #[bench] numbers. "
+          "Published = reference README.md:86-116, author's machine.")
 
 
 if __name__ == "__main__":

@@ -17,11 +17,15 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "csrc", "saistpu.cpp")
+_HDRS = (os.path.join(_DIR, "csrc", "bounds_core.h"),
+         os.path.join(_DIR, "csrc", "sais_core.h"))
 _LIB = os.path.join(_DIR, "csrc", "libsaistpu.so")
+_FAST_SRC = os.path.join(_DIR, "csrc", "fastpath.cpp")
 
 _lock = threading.Lock()
 _lib = None
 _load_error: "NativeUnavailable | None" = None  # cached failure: no retries
+_fastpath = None  # the CPython extension module, or False if unbuildable
 
 
 class NativeUnavailable(RuntimeError):
@@ -51,8 +55,10 @@ def _load() -> ctypes.CDLL:
         if _load_error is not None:
             raise _load_error
         try:
+            srcs_mtime = max(os.path.getmtime(_SRC),
+                             *(os.path.getmtime(h) for h in _HDRS))
             if (not os.path.exists(_LIB)
-                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                    or os.path.getmtime(_LIB) < srcs_mtime):
                 _build()
         except NativeUnavailable as e:
             _load_error = e
@@ -87,6 +93,49 @@ def available() -> bool:
         return False
 
 
+def _load_fastpath():
+    """The CPython extension for single-query bounds, or None.
+
+    ctypes costs ~1.5-2.5 us of marshalling per foreign call; a METH_O
+    extension method costs ~100 ns. Built lazily from csrc/fastpath.cpp
+    the same way libsaistpu.so is; any failure (no Python headers, odd
+    platform) falls back to the ctypes route silently.
+    """
+    global _fastpath
+    with _lock:
+        if _fastpath is not None:
+            return _fastpath or None
+        try:
+            import sysconfig
+
+            suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+            ext_path = os.path.join(_DIR, "_fastpath" + suffix)
+            if (not os.path.exists(ext_path)
+                    or os.path.getmtime(ext_path) < max(
+                        os.path.getmtime(_FAST_SRC),
+                        *(os.path.getmtime(h) for h in _HDRS))):
+                include = sysconfig.get_paths()["include"]
+                cmd = [
+                    "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                    "-fPIC", f"-I{include}", f"-I{np.get_include()}",
+                    _FAST_SRC, "-o", ext_path,
+                ]
+                proc = subprocess.run(cmd, capture_output=True, text=True)
+                if proc.returncode != 0:
+                    raise NativeUnavailable(proc.stderr)
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "suffix_tpu.native._fastpath", ext_path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _fastpath = mod
+        except Exception:
+            _fastpath = False
+            return None
+        return _fastpath
+
+
 def _u8(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
@@ -96,7 +145,17 @@ def _u32(arr: np.ndarray):
 
 
 def sais(data: bytes | np.ndarray) -> np.ndarray:
-    """Suffix array (uint32) via native SA-IS — linear time, single core."""
+    """Suffix array (uint32) via native SA-IS — linear time, single core.
+
+    Routes through the CPython extension when built (one C call; the
+    ctypes route pays ~8 us of marshalling, which dominates small
+    builds — cf. the reference's 1,038 ns sais_small, README.md:116).
+    """
+    fp = _load_fastpath()
+    if fp is not None:
+        return fp.sais(data if type(data) is bytes else
+                       (bytes(data) if isinstance(data, (bytes, bytearray))
+                        else np.asarray(data, np.uint8).tobytes()))
     lib = _load()
     arr = np.ascontiguousarray(
         np.frombuffer(bytes(data), dtype=np.uint8)
@@ -147,8 +206,36 @@ class BoundsHandle:
         self._tp = _u8(self._text)
         self._sp = _u32(self._sa)
         self._fn = self._lib.stpu_bounds_one
+        # Preferred route: the CPython extension (one C method call,
+        # ~0.4 us end-to-end vs ~1.8 us via ctypes — bench_micro.py).
+        fp = _load_fastpath()
+        self._ext = fp.Bounds(self._text, self._sa) if fp else None
+        if self._ext is not None:
+            self.bounds_one = self._bounds_one_ext  # instance-level rebind
 
     _OUT2 = ctypes.c_uint32 * 2
+
+    def _bounds_one_ext(self, query) -> tuple[int, int]:
+        if type(query) is not bytes:
+            query = (query.encode("utf-8") if isinstance(query, str)
+                     else bytes(query))
+        return self._ext.bounds(query)
+
+    def bench_c_only(self, query, iters: int = 200_000,
+                     op: str = "bounds") -> float | None:
+        """Pure-C ns/call for one query, or None without the extension.
+
+        The apples-to-apples row against the reference's in-process
+        #[bench] loop (README.md:86-94): no interpreter or FFI cost.
+        ``op``: "bounds" (both binary searches, the positions path) or
+        "contains" (early-exit existence test).
+        """
+        if self._ext is None:
+            return None
+        q = query.encode("utf-8") if isinstance(query, str) else bytes(query)
+        fn = (self._ext.bench_contains if op == "contains"
+              else self._ext.bench)
+        return fn(q, iters)
 
     def bounds_one(self, query) -> tuple[int, int]:
         """(start, count) rank bounds for one query.
@@ -158,6 +245,8 @@ class BoundsHandle:
         scratch is a raw ctypes array, not numpy — ndarray.ctypes costs
         ~2.7 us per cast (measured), 25x the array allocation itself,
         and dominated the single-query path (6.2 -> 1.8 us without it).
+        This ctypes route is the fallback; instances rebind to the
+        CPython-extension route when it builds (see __init__).
         """
         q = query.encode("utf-8") if isinstance(query, str) else bytes(query)
         out = self._OUT2()

@@ -27,20 +27,42 @@ def naive_table(data: bytes | np.ndarray) -> np.ndarray:
 
 
 def naive_table_np(data: bytes | np.ndarray, max_len: int | None = None) -> np.ndarray:
-    """Vectorized numpy oracle: argsort of fixed-width suffix matrices.
+    """Vectorized numpy oracle: lexsort of packed suffix-prefix keys.
 
-    Builds an (n, w) matrix of suffixes padded with -1 and lexsorts it.
-    ``w`` defaults to n (exact); pass ``max_len`` to cap the comparison
-    window when the maximum LCP is known to be small (e.g. random text).
+    Compares suffixes by their first ``w`` characters (``w`` defaults to
+    n = exact; pass ``max_len`` when the maximum LCP is known to be
+    smaller, e.g. random text).
+
+    Key layout is chosen for numpy's sort dispatch: stable argsort is a
+    radix sort for <=16-bit integers (~0.7 ms/100k) but a merge sort for
+    anything wider (~9.4 ms/100k, measured), so characters are
+    dense-ranked to symbols in [1, sigma] (0 = past-the-end sentinel)
+    and packed base-(sigma+1) into uint16 keys — as many characters per
+    key as fit (6 for DNA). Identical order to per-character comparison;
+    measured 64.7 -> 21 ms on the 100 KB fixture at w = maxLCP+1.
     """
     arr = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
     n = int(arr.shape[0])
     if n == 0:
         return np.empty((0,), dtype=np.uint32)
     w = n if max_len is None else min(max_len, n)
-    ext = np.full(n + w, -1, dtype=np.int16)
-    ext[:n] = arr
-    windows = np.lib.stride_tricks.sliding_window_view(ext, w)[:n]
-    # np.lexsort sorts by last key first; feed columns right-to-left.
-    order = np.lexsort(windows.T[::-1])
+    uniq, inv = np.unique(arr, return_inverse=True)
+    base = int(uniq.shape[0]) + 1  # symbols 1..sigma, sentinel 0
+    per_key = 1
+    while base ** (per_key + 1) <= (1 << 16):
+        per_key += 1
+    n_keys = (w + per_key - 1) // per_key
+    ext = np.zeros(n + per_key * n_keys, dtype=np.int32)
+    ext[:n] = inv
+    ext[:n] += 1
+    keys = []
+    for j in range(n_keys):
+        key = np.zeros(n, dtype=np.int32)
+        for t in range(per_key):
+            off = j * per_key + t
+            key *= base
+            key += ext[off:off + n]
+        keys.append(key.astype(np.uint16))
+    # np.lexsort sorts by last key first; feed keys right-to-left.
+    order = np.lexsort(keys[::-1])
     return order.astype(np.uint32)

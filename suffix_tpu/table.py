@@ -82,6 +82,7 @@ class SuffixTable:
         # assigning one table's route must not re-route every table.
         self.query_route = type(self).query_route
         self.HOST_QUERY_MAX = type(self).HOST_QUERY_MAX
+        self._route1_cache = None  # (query_route, decision) memo
 
     # ----------------------------------------------------------------- build
 
@@ -271,6 +272,30 @@ class SuffixTable:
 
         return dispatch_is_expensive() and native.available()
 
+    def _route_host_one(self):
+        """Memoized single-query route: (route, ext, bounds_fn).
+
+        The single-query path budget is sub-microsecond; re-running the
+        route imports + backend/availability checks costs ~1.5 us, and
+        even the BoundsHandle wrapper layer is ~50 ns. The memo holds the
+        innermost callables — ``ext`` is the CPython extension object
+        (one C call per whole operation: positions/contains/count/
+        any_position) when it built, ``bounds_fn`` the bounds callable
+        (extension or ctypes) — both None when device-routed. The memo is
+        invalidated when ``query_route`` is reassigned."""
+        cached = self._route1_cache
+        if cached is not None and cached[0] == self.query_route:
+            return cached
+        if self._route_host(1):
+            handle = self._ensure_host_handle()
+            ext = handle._ext
+            fn = ext.bounds if ext is not None else handle.bounds_one
+        else:
+            ext = fn = None
+        cached = (self.query_route, ext, fn)
+        self._route1_cache = cached
+        return cached
+
     def _bounds_batch(self, queries: Sequence) -> tuple[np.ndarray, np.ndarray]:
         """Vector of (start, count) rank bounds for a query batch.
 
@@ -348,16 +373,33 @@ class SuffixTable:
         The single-query serving path: skips the batch path's array
         wrapping (~2.5 us of the ~8.6 us total measured at 100 KB).
         """
-        if not self._route_host(1):
+        cache = self._route1_cache
+        if cache is None or cache[0] != self.query_route:
+            cache = self._route_host_one()
+        fn = cache[2]
+        if fn is None:
             return None
-        return self._ensure_host_handle().bounds_one(query)
+        if type(query) is not bytes:
+            query = (query.encode("utf-8") if isinstance(query, str)
+                     else bytes(query))
+        return fn(query)
 
     def positions(self, query) -> np.ndarray:
         """All byte offsets where ``query`` occurs, in SA (unordered) order.
 
         Reference: src/table.rs:223-259 — the result is the contiguous
-        slice ``table[start:end]``, NOT sorted by position.
+        slice ``table[start:end]``, NOT sorted by position. The host
+        route is one C call returning the zero-copy view directly.
         """
+        cache = self._route1_cache
+        if cache is None or cache[0] != self.query_route:
+            cache = self._route_host_one()
+        ext = cache[1]
+        if ext is not None:
+            if type(query) is not bytes:
+                query = (query.encode("utf-8") if isinstance(query, str)
+                         else bytes(query))
+            return ext.positions(query)
         sc = self._bounds_one_host(query)
         if sc is None:
             starts, counts = self._bounds_batch([query])
@@ -372,6 +414,15 @@ class SuffixTable:
 
     def contains(self, query) -> bool:
         """Existence test (reference: src/table.rs:197-199)."""
+        cache = self._route1_cache
+        if cache is None or cache[0] != self.query_route:
+            cache = self._route_host_one()
+        ext = cache[1]
+        if ext is not None:
+            if type(query) is not bytes:
+                query = (query.encode("utf-8") if isinstance(query, str)
+                         else bytes(query))
+            return ext.contains(query)
         sc = self._bounds_one_host(query)
         if sc is not None:
             return sc[1] > 0
@@ -384,6 +435,15 @@ class SuffixTable:
 
     def count(self, query) -> int:
         """Number of occurrences (O(m log n), no slice materialization)."""
+        cache = self._route1_cache
+        if cache is None or cache[0] != self.query_route:
+            cache = self._route_host_one()
+        ext = cache[1]
+        if ext is not None:
+            if type(query) is not bytes:
+                query = (query.encode("utf-8") if isinstance(query, str)
+                         else bytes(query))
+            return ext.count(query)
         sc = self._bounds_one_host(query)
         if sc is not None:
             return int(sc[1])
@@ -399,6 +459,15 @@ class SuffixTable:
 
         Reference: src/table.rs:279-293 (result is *some* occurrence).
         """
+        cache = self._route1_cache
+        if cache is None or cache[0] != self.query_route:
+            cache = self._route_host_one()
+        ext = cache[1]
+        if ext is not None:
+            if type(query) is not bytes:
+                query = (query.encode("utf-8") if isinstance(query, str)
+                         else bytes(query))
+            return ext.any_position(query)
         sc = self._bounds_one_host(query)
         if sc is None:
             starts, counts = self._bounds_batch([query])

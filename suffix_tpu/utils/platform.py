@@ -24,15 +24,23 @@ def default_backend() -> str:
     return jax.default_backend()
 
 
+_dispatch_expensive: bool | None = None
+
+
 def dispatch_is_expensive() -> bool:
     """True when a device dispatch costs milliseconds (accelerator,
     possibly tunneled) rather than microseconds (host CPU backend).
 
     Used by the hybrid routing in ``SuffixTable``: on accelerators,
     single queries and tiny builds run faster on the host CPU via the
-    native library than as a device program launch.
+    native library than as a device program launch. Memoized: the
+    default backend is fixed for the process, and jax.default_backend()
+    costs ~1 us — real money on the sub-microsecond query path.
     """
-    return default_backend() != "cpu"
+    global _dispatch_expensive
+    if _dispatch_expensive is None:
+        _dispatch_expensive = default_backend() != "cpu"
+    return _dispatch_expensive
 
 
 def sync(x) -> None:

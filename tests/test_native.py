@@ -63,3 +63,78 @@ def test_bounds_batch_many(dna_10k):
         assert sorted(st_.table()[s:s + c].tolist()) == sorted(
             st_.positions(q).tolist()
         )
+
+
+# ---------------------------------------------------------------- fastpath
+# The CPython extension (native/csrc/fastpath.cpp): the single-operation
+# serving surface (one C call per whole positions/contains/count/
+# any_position) plus the marshalling-free sais/naive builders. Each must
+# be bit-identical to the ctypes + batch routes.
+
+
+@pytest.fixture(scope="module")
+def fastpath():
+    fp = native._load_fastpath()
+    if fp is None:
+        pytest.skip("fastpath extension unavailable")
+    return fp
+
+
+def test_fastpath_builders_match_oracles(fastpath, dna_10k):
+    for text in [b"", b"a", b"banana", b"mississippi", b"\x00\x00a\x00",
+                 bytes(range(256)) * 2, dna_10k[:3000]]:
+        golden = naive_table(text)
+        assert np.array_equal(fastpath.sais(text), golden)
+        assert np.array_equal(fastpath.naive(text), golden)
+
+
+def test_fastpath_ops_match_batch_route(fastpath, dna_10k):
+    table = native.sais(dna_10k)
+    handle = native.BoundsHandle(dna_10k, table)
+    assert handle._ext is not None
+    queries = ([dna_10k[i:i + 7] for i in range(0, 2000, 61)]
+               + [b"", b"zzz", b"C", dna_10k[-4:], dna_10k[:40]])
+    starts, counts = native.bounds_batch(dna_10k, table, queries)
+    for q, s, c in zip(queries, starts, counts):
+        assert handle._ext.bounds(q) == (s, c)
+        got = handle._ext.positions(q)
+        assert got.dtype == np.uint32 and not got.flags.writeable
+        assert np.array_equal(got, table[s:s + c])
+        assert handle._ext.contains(q) == (c > 0)
+        assert handle._ext.count(q) == c
+        expected_any = int(table[s]) if c else None
+        assert handle._ext.any_position(q) == expected_any
+
+
+def test_fastpath_positions_view_outlives_handle(fastpath):
+    text = b"abracadabra"
+    table = native.sais(text)
+    handle = native.BoundsHandle(text, table)
+    view = handle._ext.positions(b"a")
+    expected = view.copy()
+    del handle, table  # view must keep the sa buffer alive (base ref)
+    assert np.array_equal(view, expected)
+
+
+def test_fastpath_rejects_non_bytes(fastpath):
+    handle = native.BoundsHandle(b"abc", native.sais(b"abc"))
+    with pytest.raises(TypeError):
+        handle._ext.bounds("abc")  # str must be encoded by the caller
+
+
+def test_table_host_route_uses_ext_and_matches_device(dna_10k):
+    table = SuffixTable.new(dna_10k, engine="native")
+    table.query_route = "host"
+    dev = SuffixTable.new(dna_10k, engine="native")
+    dev.query_route = "device"
+    for q in [dna_10k[100:114], b"", b"C", b"zzz", dna_10k[:30],
+              dna_10k[-5:]]:
+        assert np.array_equal(table.positions(q), dev.positions(q))
+        assert table.contains(q) == dev.contains(q)
+        assert table.count(q) == dev.count(q)
+        assert table.any_position(q) == dev.any_position(q)
+    # toggling the route invalidates the memoized fast path
+    table.query_route = "device"
+    assert table._bounds_one_host(b"C") is None
+    table.query_route = "host"
+    assert table._bounds_one_host(b"C") is not None
