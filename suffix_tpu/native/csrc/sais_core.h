@@ -142,13 +142,52 @@ inline void sais_core(const std::vector<uint32_t>& s, uint32_t sigma,
   }
 }
 
+// Small-text direct path: binary-insertion sort of suffix offsets with
+// memcmp suffix compares. The suffix array is the unique byte-lex order
+// (shorter proper-prefix suffix first, matching src/table.rs:367-376's
+// slice order), so this is bit-identical to the SA-IS path. For tiny n
+// the O(n^2)-compare sort beats SA-IS's fixed alphabet-sized costs
+// (5 x 257-entry bucket tables + their reset scans dominate an 11-byte
+// build). Measured (scripts/small_crossover.cpp, this box): 181 ns vs
+// 1,450 ns at n=11; random text crosses over near n=56 (2.6 vs 2.7 us
+// at 48) but the all-equal-byte worst case crosses at 32 (1.54 vs
+// 1.48 us), so the threshold stays at 32 where the adversarial loss is
+// within noise.
+inline constexpr uint32_t kSmallDirectMax = 32;
+
+inline void small_sort_u8(const uint8_t* text, uint32_t n, uint32_t* sa) {
+  for (uint32_t i = 0; i < n; i++) {
+    const uint32_t la = n - i;
+    uint32_t j = i;
+    while (j > 0) {
+      const uint32_t b = sa[j - 1];
+      const uint32_t lb = n - b;
+      const uint32_t m = la < lb ? la : lb;
+      const int c = std::memcmp(text + i, text + b, m);
+      if (!(c < 0 || (c == 0 && la < lb))) break;
+      sa[j] = b;
+      --j;
+    }
+    sa[j] = i;
+  }
+}
+
 // Suffix array of `text` (byte-lexicographic, NO sentinel in the output).
 inline void sais_u8(const uint8_t* text, uint32_t n, uint32_t* out_sa) {
   if (n == 0) return;
-  std::vector<uint32_t> s(static_cast<size_t>(n) + 1);
+  if (n <= kSmallDirectMax) {
+    small_sort_u8(text, n, out_sa);
+    return;
+  }
+  // Top-level scratch is thread-local so back-to-back builds (serving
+  // many small documents) pay no allocation; recursion levels inside
+  // sais_core still allocate, but only run for larger inputs where the
+  // allocations are noise.
+  thread_local std::vector<uint32_t> s;
+  thread_local std::vector<uint32_t> sa;
+  s.resize(static_cast<size_t>(n) + 1);
   for (uint32_t i = 0; i < n; i++) s[i] = static_cast<uint32_t>(text[i]) + 1;
   s[n] = 0;  // sentinel, strictly smallest
-  std::vector<uint32_t> sa;
   sais_core(s, 257, sa);
   // sa[0] is the sentinel suffix; drop it.
   std::memcpy(out_sa, sa.data() + 1, sizeof(uint32_t) * n);
