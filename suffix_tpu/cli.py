@@ -183,14 +183,17 @@ def _cmd_info(args) -> int:
 
 
 def _cmd_warmup(args) -> int:
-    from suffix_tpu.utils.warmup import warm
+    from suffix_tpu.utils.warmup import warm, warm_sharded
 
-    timings = warm(
-        args.size,
-        query_batches=tuple(int(x) for x in args.batches.split(",")),
-        query_lens=tuple(int(x) for x in args.qlens.split(",")),
-        lcp=not args.no_lcp,
-    )
+    if args.devices > 1:
+        timings = warm_sharded(args.size, args.devices)
+    else:
+        timings = warm(
+            args.size,
+            query_batches=tuple(int(x) for x in args.batches.split(",")),
+            query_lens=tuple(int(x) for x in args.qlens.split(",")),
+            lcp=not args.no_lcp,
+        )
     total = sum(dt for _, dt in timings)
     print(f"warmed {len(timings)} programs in {total:.1f}s")
     return 0
@@ -277,6 +280,9 @@ def main(argv=None) -> int:
     w.add_argument("--qlens", default="16",
                    help="padded query lengths, comma-separated")
     w.add_argument("--no-lcp", action="store_true")
+    w.add_argument("--devices", type=int, default=1,
+                   help="warm the sharded SPMD build for this mesh size "
+                        "instead of the single-chip pipeline")
     w.set_defaults(fn=_cmd_warmup)
 
     args = p.parse_args(argv)

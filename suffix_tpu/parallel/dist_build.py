@@ -38,8 +38,24 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from suffix_tpu.ops.padding import PAD
+from suffix_tpu.ops.padding import PAD, bucket_size
 from suffix_tpu.parallel.mesh import AXIS
+
+
+def _local_bucket(n: int, n_dev: int) -> int:
+    """Per-device shard length for a global text of ``n`` bytes: the
+    ceil-divided shard rounded up to a power-of-two bucket (>= 8).
+
+    Without the bucketing every distinct corpus length compiled a fresh
+    XLA executable — minutes per size through the TPU tunnel. With it,
+    the sharded build has the same O(log max_n) compiled-shape set as the
+    single-chip engine (ops/padding.py), and utils/warmup.py can pre-fill
+    the cache for a deployment's buckets. The extra padding is PAD bytes
+    at the tail, whose suffixes sort strictly first and are sliced off —
+    identical output (pinned by tests/test_dist_build.py, which runs
+    non-power-of-two corpus sizes end to end).
+    """
+    return bucket_size(max(8, -(-n // n_dev)), minimum=8)
 
 
 def _check_pow2(mesh: Mesh) -> int:
@@ -327,8 +343,7 @@ def suffix_array_sharded(data: bytes | np.ndarray | str,
     if n == 0:
         return np.empty((0,), dtype=np.uint32)
     n_dev = _check_pow2(mesh)
-    # Local shard >= 8 keeps degenerate tiny shapes out of the kernels.
-    n_local = max(8, -(-n // n_dev))
+    n_local = _local_bucket(n, n_dev)
     n_total = n_local * n_dev
     dtype, out_dtype = _resolve_index_dtype(index_dtype, n_total)
     sharded, _ = device_corpus(arr, mesh, n_pad=n_total)
@@ -365,7 +380,7 @@ def suffix_array_sharded_stepped(
     if n == 0:
         return np.empty((0,), dtype=np.uint32)
     n_dev = _check_pow2(mesh)
-    n_local = max(8, -(-n // n_dev))
+    n_local = _local_bucket(n, n_dev)
     n_total = n_local * n_dev
     dtype, out_dtype = _resolve_index_dtype(index_dtype, n_total)
     shard = NamedSharding(mesh, P(AXIS))
