@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import os
+import zipfile
 
 import jax
 import jax.numpy as jnp
@@ -352,6 +353,100 @@ def suffix_array_sharded(data: bytes | np.ndarray | str,
     return sa_full[n_total - n:].astype(out_dtype)
 
 
+def _ckpt_path(checkpoint_path: str) -> str:
+    """Per-process checkpoint file: multi-controller runs persist each
+    process's addressable shards under its own name (a process cannot
+    materialize the non-addressable remainder of a global array)."""
+    if jax.process_count() > 1:
+        return f"{checkpoint_path}.p{jax.process_index()}"
+    return checkpoint_path
+
+
+def _save_ckpt(checkpoint_path: str, rank, sa, k: int, done: bool,
+               n_total: int) -> None:
+    """Atomic per-round persist; keeps the previous round as ``.prev`` so
+    a process that raced one round ahead of a crashed peer can rewind to
+    the last globally-completed round on resume."""
+    path = _ckpt_path(checkpoint_path)
+    los, rblocks, sblocks = [], [], []
+    for rs, ss in zip(rank.addressable_shards, sa.addressable_shards):
+        los.append(rs.index[0].start or 0)
+        rblocks.append(np.asarray(rs.data))
+        sblocks.append(np.asarray(ss.data))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, los=np.asarray(los, np.int64),
+             rank=np.stack(rblocks), sa=np.stack(sblocks),
+             k=np.int64(k), done=np.bool_(done), n_total=np.int64(n_total))
+    if os.path.exists(path):
+        os.replace(path, path + ".prev")
+    os.replace(tmp, path)
+
+
+def _load_ckpt_file(path: str, n_total: int):
+    """(los, rank_blocks, sa_blocks, k, done) or None."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            if int(z["n_total"]) != n_total:
+                return None
+            return (z["los"], z["rank"], z["sa"], int(z["k"]),
+                    bool(z["done"]))
+    except (OSError, ValueError, KeyError, zipfile.BadZipFile):
+        return None  # corrupt/partial checkpoint: caller restarts
+
+
+def _resume_state(checkpoint_path: str, mesh: Mesh, n_total: int, dtype):
+    """Reconstruct (rank, sa, k, done) from per-process checkpoints.
+
+    Multi-controller: every process loads its own shard file, the
+    processes agree on the most recent ROUND COMPLETED BY ALL (a crash
+    can leave one process a round ahead — its ``.prev`` file holds the
+    common round), and the global arrays are assembled from local
+    single-device blocks. Deterministic rounds make the resumed build
+    bit-identical to an uninterrupted one.
+    """
+    path = _ckpt_path(checkpoint_path)
+    states = {}
+    st = _load_ckpt_file(path, n_total)
+    if st is not None:
+        states[st[3]] = st
+    prev = _load_ckpt_file(path + ".prev", n_total)
+    if prev is not None:
+        states.setdefault(prev[3], prev)
+    if not states:
+        return None
+    k_mine = max(states)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        all_k = multihost_utils.process_allgather(np.int64(k_mine))
+        k_common = int(np.min(all_k))
+        if k_common not in states:
+            raise RuntimeError(
+                f"cannot resume: this process's checkpoints cover rounds "
+                f"{sorted(states)} but the slowest peer is at {k_common}")
+    else:
+        k_common = k_mine
+    los, rblocks, sblocks, k, done = states[k_common]
+    shard = NamedSharding(mesh, P(AXIS))
+    dev_of = {}
+    for d, idx in shard.addressable_devices_indices_map(
+            (n_total,)).items():
+        dev_of[idx[0].start or 0] = d
+    rank_parts, sa_parts = [], []
+    for lo, rb, sb in zip(los, rblocks, sblocks):
+        d = dev_of[int(lo)]
+        rank_parts.append(jax.device_put(rb.astype(dtype), d))
+        sa_parts.append(jax.device_put(sb.astype(dtype), d))
+    order = np.argsort([int(lo) for lo in los])
+    rank = jax.make_array_from_single_device_arrays(
+        (n_total,), shard, [rank_parts[i] for i in order])
+    sa = jax.make_array_from_single_device_arrays(
+        (n_total,), shard, [sa_parts[i] for i in order])
+    return rank, sa, k, done
+
+
 def suffix_array_sharded_stepped(
     data: bytes | np.ndarray,
     mesh: Mesh,
@@ -386,18 +481,8 @@ def suffix_array_sharded_stepped(
     shard = NamedSharding(mesh, P(AXIS))
 
     state = None
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        try:
-            with np.load(checkpoint_path) as z:
-                if int(z["n_total"]) == n_total:
-                    state = (
-                        jax.device_put(z["rank"].astype(dtype), shard),
-                        jax.device_put(z["sa"].astype(dtype), shard),
-                        int(z["k"]),
-                        bool(z["done"]),
-                    )
-        except (OSError, ValueError, KeyError):
-            state = None  # corrupt/partial checkpoint: restart from scratch
+    if resume and checkpoint_path:
+        state = _resume_state(checkpoint_path, mesh, n_total, dtype)
     if state is None:
         padded = np.full((n_total,), PAD, dtype=np.int32)
         padded[:n] = arr
@@ -413,20 +498,14 @@ def suffix_array_sharded_stepped(
         done = bool(done_arr)
         k = int(next_k)
         if checkpoint_path:
-            # Atomic: a crash mid-write must not destroy the previous
-            # round's checkpoint (np.savez appends .npz to bare names, so
-            # the temp name keeps the suffix).
-            tmp = checkpoint_path + ".tmp.npz"
-            np.savez(
-                tmp,
-                rank=np.asarray(rank),
-                sa=np.asarray(sa),
-                k=np.int64(k),
-                done=np.bool_(done),
-                n_total=np.int64(n_total),
-            )
-            os.replace(tmp, checkpoint_path)
+            _save_ckpt(checkpoint_path, rank, sa, k, done, n_total)
         if round_hook is not None:
             round_hook(k, done)
-    sa_full = np.asarray(sa)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        sa_full = np.asarray(multihost_utils.process_allgather(
+            sa, tiled=True))
+    else:
+        sa_full = np.asarray(sa)
     return sa_full[n_total - n:].astype(out_dtype)
