@@ -88,12 +88,21 @@ def main() -> None:
     # BASELINE.md's 13.3 MB/s is the reference's unknown machine; the
     # honest "10x over single-core CPU SA-IS at 1 chip" comparison is our
     # own linear-time C++ SA-IS (suffix_tpu/native) on THIS host's CPU.
+    # Medians of repeated runs: the round-1/2 single-shot numbers swung
+    # 1.8x between rounds from box contention (VERDICT r2 #2).
+    def _native_median(data: bytes, iters: int) -> float:
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            native.sais(data)
+            times.append(time.perf_counter() - t0)
+        return len(data) / float(np.median(times)) / 1e6
+
     try:
         from suffix_tpu import native
 
-        t0 = time.perf_counter()
-        native.sais(corpus.astype(np.uint8).tobytes())
-        cpu_mbps = n / (time.perf_counter() - t0) / 1e6
+        native.sais(b"warm" * 64)
+        cpu_mbps = _native_median(corpus.astype(np.uint8).tobytes(), 5)
         detail["native_cpu_sais_MBps"] = round(cpu_mbps, 2)
         detail["vs_native_cpu_sais"] = round(mbps / cpu_mbps, 1)
     except Exception as e:  # native lib not built on this host
@@ -121,10 +130,20 @@ def main() -> None:
     sync(_suffix_array_padded(t_rep))
     dt_rep = _throughput_time(lambda: _suffix_array_padded(t_rep), sync)
     detail["construct_4MiB_repeated_s"] = round(dt_rep, 4)
-    detail["construct_4MiB_repeated_MBps"] = round((1 << 22) / dt_rep / 1e6, 2)
+    rep_mbps = (1 << 22) / dt_rep / 1e6
+    detail["construct_4MiB_repeated_MBps"] = round(rep_mbps, 2)
     detail["repeated_vs_reference_10MB_wallclock"] = round(
         ((1 << 22) / dt_rep) / (10_000_000 / 212.7), 1
     )
+    # Per-class CPU baseline: SA-IS is *faster* on repetitive text (its
+    # reduction collapses repeats) while doubling pays max-LCP rounds —
+    # report the honest per-class ratio, not just the random-corpus one.
+    try:
+        cpu_rep = _native_median(rep.astype(np.uint8).tobytes(), 5)
+        detail["native_cpu_repeated_MBps"] = round(cpu_rep, 2)
+        detail["repeated_vs_native_cpu"] = round(rep_mbps / cpu_rep, 2)
+    except Exception as e:
+        detail["native_cpu_repeated_MBps"] = f"unavailable: {e}"
 
     # --- batched queries on the 4 MiB index (merge-join engine) ----------
     sa_dev = jnp.asarray(np.asarray(sa).astype(np.int32))
@@ -211,7 +230,14 @@ def main() -> None:
         dt_big = _throughput_time(
             lambda: _suffix_array_padded(t_big, pick_init_words(n_big)),
             sync, n_iter=4)
-        detail["construct_64MiB_MBps"] = round(n_big / dt_big / 1e6, 1)
+        big_mbps = n_big / dt_big / 1e6
+        detail["construct_64MiB_MBps"] = round(big_mbps, 1)
+        try:
+            cpu_big = _native_median(big.astype(np.uint8).tobytes(), 3)
+            detail["native_cpu_64MiB_MBps"] = round(cpu_big, 2)
+            detail["vs_native_cpu_64MiB"] = round(big_mbps / cpu_big, 1)
+        except Exception as e:
+            detail["native_cpu_64MiB_MBps"] = f"unavailable: {e}"
         sa_big32 = sa_big.astype(jnp.int32)
         _pkb, fence_b, blk_b, _ = search_ops.build_query_index(
             t_big, sa_big32, jnp.int32(n_big))
