@@ -38,9 +38,16 @@ from suffix_tpu.ops.padding import PAD, bucket_size
 MAX_TEXT_LEN = 0xFFFFFFFF  # u32 offsets, same cap as the reference
 
 # engine="auto": corpora at or below this build on the host CPU via the
-# native SA-IS (linear time, no dispatch/compile latency); larger ones go
-# to the device pipeline, whose sort throughput dominates past ~1 MiB.
-AUTO_NATIVE_MAX = 1 << 20
+# native SA-IS; larger ones go to the device pipeline. Threshold measured
+# (scripts/round3_study.py crossover, v5e via tunnel): native wins the
+# host-bytes-in/host-table-out build at every point of the 64K..4M ladder
+# (4.4 vs 37 ms at 64K, 356 vs 635 ms at 4M — the device wall cost is
+# dominated by ~53 MB/s tunnel transfers, not the 30 ms device build).
+# Beyond 4 MiB the device route pays off anyway: its table feeds the
+# batched device query engine (12.5M q/s at 4 MiB vs ~0.4M host) and the
+# amortized device build throughput (68-147 MB/s) dwarfs the CPU's
+# 5.7-10.8 MB/s, so serving pipelines keep large corpora on-device.
+AUTO_NATIVE_MAX = 1 << 22
 
 
 def _as_bytes(text) -> tuple[bytes, bool]:
