@@ -60,11 +60,35 @@ def main() -> None:
     import jax.numpy as jnp
 
     from suffix_tpu.ops.padding import PAD, bucket_size
-    from suffix_tpu.ops.prefix_doubling import (_suffix_array_padded,
+    from suffix_tpu.ops.prefix_doubling import (_adaptive_plan,
+                                                 _suffix_array_packed,
+                                                 _suffix_array_padded,
                                                  pick_init_words)
     from suffix_tpu.ops import search2 as search_ops
 
     detail = {"device": str(jax.devices()[0])}
+
+    def device_build_fn(arr_u8: np.ndarray, n_pad: int):
+        """(dispatch, device_input, engine_label): the production device
+        build for this corpus — the alphabet-adaptive dense-coded
+        one-shot sort when the corpus class qualifies (exactly what
+        suffix_array_bytes routes to), else the byte-ladder engine."""
+        plan = _adaptive_plan(arr_u8, n_pad)
+        if plan is not None:
+            lut, bits, cpw, n_words = plan
+            codes = np.zeros((n_pad,), np.int32)
+            codes[: len(arr_u8)] = lut[arr_u8]
+            c_dev = jnp.asarray(codes)
+            sync(c_dev)
+            return (lambda: _suffix_array_packed(c_dev, n_words, bits, cpw),
+                    c_dev, f"adaptive({bits}b x {cpw * n_words}ch)")
+        padded = np.full((n_pad,), PAD, np.int32)
+        padded[: len(arr_u8)] = arr_u8
+        t_dev = jnp.asarray(padded)
+        sync(t_dev)
+        iw = pick_init_words(n_pad)
+        return (lambda: _suffix_array_padded(t_dev, iw), t_dev,
+                f"ladder({iw}w)")
 
     with open(pathlib.Path(__file__).parent / "tests" / "fixtures" / "AP009048_100000.fasta", "rb") as f:
         fixture = f.read()
@@ -72,17 +96,20 @@ def main() -> None:
     # --- headline: 4 MiB DNA construction, on-device ---------------------
     rng = np.random.default_rng(0xD4A)
     n = 1 << 22
-    corpus = (rng.integers(0, 4, size=n, dtype=np.uint8) + 97).astype(np.int32)
+    corpus_u8 = rng.integers(0, 4, size=n, dtype=np.uint8) + 97
+    corpus = corpus_u8.astype(np.int32)
     t_dev = jnp.asarray(corpus)
     sync(t_dev)
-    sa = _suffix_array_padded(t_dev)
+    build_4m, _, engine_label = device_build_fn(corpus_u8, n)
+    detail["construct_engine"] = engine_label
+    sa = build_4m()
     sync(sa)  # compile + first run
-    dt = _throughput_time(lambda: _suffix_array_padded(t_dev), sync)
+    dt = _throughput_time(build_4m, sync)
     mbps = n / dt / 1e6
     detail["construct_4MiB_dna_s"] = round(dt, 4)
     detail["construct_4MiB_dna_MBps"] = round(mbps, 2)
     detail["construct_4MiB_latency_s"] = round(
-        _median_time(lambda: sync(_suffix_array_padded(t_dev))), 4)
+        _median_time(lambda: sync(build_4m())), 4)
 
     # --- same-machine CPU baseline (north-star ratio) --------------------
     # BASELINE.md's 13.3 MB/s is the reference's unknown machine; the
@@ -124,11 +151,12 @@ def main() -> None:
     # --- repeated-fixture corpus (the reference's own scaling test) ------
     # NOTES.md: the reference took 212.7 s for the 10 MB repeated FASTA
     # (0.047 MB/s). Same shape class as the 4 MiB build -> no new compile.
-    rep = np.frombuffer((fixture * 45)[: 1 << 22], np.uint8).astype(np.int32)
-    t_rep = jnp.asarray(rep)
-    sync(t_rep)
-    sync(_suffix_array_padded(t_rep))
-    dt_rep = _throughput_time(lambda: _suffix_array_padded(t_rep), sync)
+    rep_u8 = np.frombuffer((fixture * 45)[: 1 << 22], np.uint8)
+    rep = rep_u8.astype(np.int32)
+    build_rep, _, rep_label = device_build_fn(rep_u8, 1 << 22)
+    detail["construct_repeated_engine"] = rep_label
+    sync(build_rep())
+    dt_rep = _throughput_time(build_rep, sync)
     detail["construct_4MiB_repeated_s"] = round(dt_rep, 4)
     rep_mbps = (1 << 22) / dt_rep / 1e6
     detail["construct_4MiB_repeated_MBps"] = round(rep_mbps, 2)
@@ -139,7 +167,7 @@ def main() -> None:
     # reduction collapses repeats) while doubling pays max-LCP rounds —
     # report the honest per-class ratio, not just the random-corpus one.
     try:
-        cpu_rep = _native_median(rep.astype(np.uint8).tobytes(), 5)
+        cpu_rep = _native_median(rep_u8.tobytes(), 5)
         detail["native_cpu_repeated_MBps"] = round(cpu_rep, 2)
         detail["repeated_vs_native_cpu"] = round(rep_mbps / cpu_rep, 2)
     except Exception as e:
@@ -221,15 +249,15 @@ def main() -> None:
     # shows the large-corpus behavior (fence stride 64 ladder).
     try:
         n_big = 1 << 26
-        big = (rng.integers(0, 4, size=n_big, dtype=np.uint8) + 97).astype(
-            np.int32)
+        big_u8 = rng.integers(0, 4, size=n_big, dtype=np.uint8) + 97
+        big = big_u8.astype(np.int32)
         t_big = jnp.asarray(big)
         sync(t_big)
-        sa_big = _suffix_array_padded(t_big, pick_init_words(n_big))
+        build_big, _, big_label = device_build_fn(big_u8, n_big)
+        detail["construct_64MiB_engine"] = big_label
+        sa_big = build_big()
         sync(sa_big)
-        dt_big = _throughput_time(
-            lambda: _suffix_array_padded(t_big, pick_init_words(n_big)),
-            sync, n_iter=4)
+        dt_big = _throughput_time(build_big, sync, n_iter=4)
         big_mbps = n_big / dt_big / 1e6
         detail["construct_64MiB_MBps"] = round(big_mbps, 1)
         try:

@@ -416,6 +416,89 @@ def section_widesort():
                  MBps=round(n / dt / 1e6, 1))
 
 
+# ------------------------------------------------------- sortentropy --
+def section_sortentropy():
+    """Is lax.sort cost entropy-dependent? The 4M full build (30 ms)
+    costs far less than its stage sum over random-key microbenches
+    (75 ms), suggesting the TPU sort exploits low-entropy keys. If so,
+    sorting raw char codes is fundamentally cheaper than sorting dense
+    ranks, and wide low-entropy initial sorts beat extra rounds."""
+    emit(section="sortentropy", device=str(jax.devices()[0]))
+    rng = np.random.default_rng(11)
+
+    @jax.jit
+    def sort5(a, b, c, d, e):
+        return jax.lax.sort((a, b, c, d, e), num_keys=4, is_stable=False)
+
+    for logn in (22, 26):
+        n = 1 << logn
+        idx = jnp.arange(n, dtype=jnp.int32)
+        n_iter = 8 if logn == 22 else 3
+        for hi, label in ((4, "2bit"), (1 << 9, "9bit"),
+                          ((1 << 18), "18bit"), ((1 << 27), "27bit")):
+            emit(progress=f"sortentropy n=2^{logn} {label} uploading")
+            ops = tuple(jnp.asarray(rng.integers(
+                0, hi, size=n, dtype=np.int32)) for _ in range(4))
+            sync(ops[-1])
+            emit(progress=f"sortentropy n=2^{logn} {label} measuring")
+            dt = amortized(lambda: sort5(*ops, idx), n_iter=n_iter)
+            emit(n=n, keys=label, ms=round(dt * 1e3, 2))
+
+
+# --------------------------------------------------------- densepack --
+def section_densepack():
+    """One-shot build with DENSE-CODED initial words: for a sigma-letter
+    alphabet each char needs ceil(log2(sigma+1)) bits, so one int32 word
+    carries floor(30/bits) chars — DNA gets 10 chars/word instead of 3.
+    Sorting (w1..wW, idx) with 3W' chars > max LCP finishes the build in
+    ONE sort with no invert and no quadrupling round. Prototype measured
+    against the production engine at 4M/64M on random DNA."""
+    from suffix_tpu.ops.prefix_doubling import _suffix_array_padded
+
+    emit(section="densepack", device=str(jax.devices()[0]))
+    rng = np.random.default_rng(7)
+
+    def build_dense(text, n_words, bits, cpw):
+        # text: int32, PAD=-1; DNA codes 1..4 (0 = past-end sentinel).
+        n = text.shape[0]
+        code = jnp.where(text < 0, 0, text - 96)  # 'a'=97 -> 1..4, pad -> 0
+        ext = jnp.concatenate(
+            [code, jnp.zeros((n_words * cpw - 1,), jnp.int32)])
+        words = []
+        for w in range(n_words):
+            acc = jnp.zeros((n,), jnp.int32)
+            for j in range(cpw):
+                acc = (acc << bits) | jax.lax.dynamic_slice(
+                    ext, (w * cpw + j,), (n,))
+            words.append(acc)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        srt = jax.lax.sort(tuple(words) + (idx,), num_keys=n_words,
+                           is_stable=False)
+        return srt[-1]
+
+    build_dense_jit = jax.jit(build_dense, static_argnums=(1, 2, 3))
+
+    for logn in (22, 26):
+        n = 1 << logn
+        corpus = (rng.integers(0, 4, size=n, dtype=np.uint8) + 97).astype(
+            np.int32)
+        t_dev = jnp.asarray(corpus)
+        sync(t_dev)
+        n_iter = 8 if logn == 22 else 3
+        # 3 bits/char, 10 chars/word; words to cover ~2*log4(n)+12 chars.
+        est = 2 * (logn // 2) + 12
+        n_words = -(-est // 10)
+        sa = build_dense_jit(t_dev, n_words, 3, 10)
+        # Correctness spot check vs production engine.
+        sa_ref = _suffix_array_padded(t_dev)
+        ok = bool(jnp.array_equal(sa, sa_ref))
+        dt = amortized(lambda: build_dense_jit(t_dev, n_words, 3, 10),
+                       n_iter=n_iter)
+        emit(n=n, engine="densepack_oneshot", words=n_words,
+             chars=n_words * 10, ms=round(dt * 1e3, 2),
+             MBps=round(n / dt / 1e6, 1), matches_production=ok)
+
+
 SECTIONS = {
     "bw": section_bw,
     "repeated": section_repeated,
@@ -423,6 +506,8 @@ SECTIONS = {
     "stages64": section_stages64,
     "crossover": section_crossover,
     "widesort": section_widesort,
+    "sortentropy": section_sortentropy,
+    "densepack": section_densepack,
 }
 
 if __name__ == "__main__":

@@ -94,35 +94,21 @@ def _invert_permutation(sa: jax.Array, values: jax.Array) -> jax.Array:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("init_words", "index_dtype"))
-def _suffix_array_padded(text: jax.Array,
-                         init_words: int = INIT_WORDS,
-                         index_dtype=jnp.int32) -> jax.Array:
-    """Suffix array of a PAD-padded int32 text (static length).
-
-    Returns the full permutation of [0, n_pad); suffixes that start inside
-    the padding all consist of PAD bytes only and therefore occupy the
-    first ``pad_len`` slots — callers slice them off.
+def _doubling_core(words, h0: int, index_dtype) -> jax.Array:
+    """The doubling engine given initial key words ordering suffixes by
+    their first ``h0`` characters. Shared by the byte path (9-bit packed
+    words) and the alphabet-adaptive dense-coded path (fewer bits/char,
+    more chars/word — see ``_suffix_array_packed``).
 
     Per round, every memory access is streaming: the doubling shift is a
     contiguous dynamic slice (not a gather), the sorted key columns come
     out of the sort itself (no re-gather), and the rank inverse-permute is
     a key-sort (no scatter).
-
-    ``index_dtype``: int32 by default (texts < 2^31 bytes, covering the
-    reference's entire u32 domain in practice); pass jnp.int64 (requires
-    jax_enable_x64) for larger corpora — indices, ranks, and the round
-    counter widen, the packed key words stay int32.
     """
-    n = text.shape[0]
+    n = words[0].shape[0]
+    init_words = len(words)
     idx = jnp.arange(n, dtype=index_dtype)
     neg = jnp.full((n,), -1, index_dtype)
-
-    # Initial round: order by 3*init_words packed bytes, so the quadrupling
-    # rounds start at h=3*init_words. The rank inverse-permute (a key-sort)
-    # feeds the first quadrupling round only — skip it when the initial
-    # sort already separated every suffix.
-    words = _initial_words(text, init_words)
     # idx rides as PAYLOAD, not key: tied keys receive equal dense ranks,
     # so their payload order is irrelevant to every consumer (dense0 reads
     # key columns; invert maps equal-rank suffixes to equal values; sa0 is
@@ -183,10 +169,111 @@ def _suffix_array_padded(text: jax.Array,
         return (new_rank, sa, k * 4, done)
 
     _, sa, _, _ = jax.lax.while_loop(
-        cond, body, (rank, sa0, jnp.asarray(3 * init_words, index_dtype),
-                     done0)
+        cond, body, (rank, sa0, jnp.asarray(h0, index_dtype), done0)
     )
     return sa
+
+
+@functools.partial(jax.jit, static_argnames=("init_words", "index_dtype"))
+def _suffix_array_padded(text: jax.Array,
+                         init_words: int = INIT_WORDS,
+                         index_dtype=jnp.int32) -> jax.Array:
+    """Suffix array of a PAD-padded int32 text (static length).
+
+    Returns the full permutation of [0, n_pad); suffixes that start inside
+    the padding all consist of PAD bytes only and therefore occupy the
+    first ``pad_len`` slots — callers slice them off.
+
+    ``index_dtype``: int32 by default (texts < 2^31 bytes, covering the
+    reference's entire u32 domain in practice); pass jnp.int64 (requires
+    jax_enable_x64) for larger corpora — indices, ranks, and the round
+    counter widen, the packed key words stay int32.
+    """
+    # Initial round: order by 3*init_words packed bytes, so the
+    # quadrupling rounds start at h=3*init_words.
+    words = _initial_words(text, init_words)
+    return _doubling_core(tuple(words), 3 * init_words, index_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_words", "bits", "cpw", "index_dtype"))
+def _suffix_array_packed(codes: jax.Array, n_words: int, bits: int,
+                         cpw: int, index_dtype=jnp.int32) -> jax.Array:
+    """Doubling over dense-coded initial words: ``codes`` holds
+    order-preserving alphabet codes in [1, sigma] (0 = padding/past-end),
+    each initial word packs ``cpw`` codes of ``bits`` bits, so the first
+    sort orders by n_words*cpw characters. For small alphabets this
+    reaches past the corpus' max LCP in ONE sort (no invert, no
+    quadrupling round) — see scripts/round3_study.py densepack for the
+    64 MiB measurements. Bit-identical output — codes
+    are order-isomorphic to bytes and 0 is the sentinel, exactly the
+    PAD rule of the byte path."""
+    n = codes.shape[0]
+
+    def shifted(arr, off):
+        if off == 0:
+            return arr
+        ext = jnp.concatenate([arr, jnp.zeros((off,), jnp.int32)])
+        return jax.lax.dynamic_slice(ext, (off,), (n,))
+
+    # Logarithmic pair-packing ladder: ladder[k][i] covers
+    # codes[i, i + 2^k) — log2 streaming passes instead of cpw
+    # slice-shift-or passes.
+    ladder = [codes]
+    width = 1
+    while 2 * width <= cpw:
+        prev = ladder[-1]
+        ladder.append((prev << (bits * width)) | shifted(prev, width))
+        width *= 2
+    # Compose an arbitrary cpw from the ladder's binary components
+    # (e.g. 10 chars = 8 + 2): fold set bits of cpw from the MSB down.
+    comp = None
+    off = 0
+    for k in range(len(ladder) - 1, -1, -1):
+        w = 1 << k
+        if cpw & w:
+            part = shifted(ladder[k], off)
+            comp = part if comp is None else (comp << (bits * w)) | part
+            off += w
+    words = [shifted(comp, w * cpw) for w in range(n_words)]
+    return _doubling_core(tuple(words), n_words * cpw, index_dtype)
+
+
+# Alphabet-adaptive packing applies from this size up: below it the
+# whole build is a few tens of ms and the ladder's shapes are already
+# warm; above it a saved quadrupling round is ~100+ ms.
+ADAPTIVE_PACK_MIN = 1 << 21
+# Extra characters beyond the 2*log_sigma(n) expected max LCP of random
+# text: covers the fluctuation tail so the one-shot prediction rarely
+# misses (a miss is correct anyway — rounds continue from h0).
+ADAPTIVE_SLACK_CHARS = 12
+ADAPTIVE_MAX_WORDS = 6
+
+
+def _adaptive_plan(arr: np.ndarray, n_pad: int):
+    """(lut, bits, cpw, n_words) for the dense-coded initial sort, or
+    None when the byte ladder is at least as good (large alphabets, or
+    expected LCP beyond ADAPTIVE_MAX_WORDS words)."""
+    counts = np.bincount(arr, minlength=256)
+    present = np.flatnonzero(counts)
+    sigma = int(present.size)
+    if sigma < 1:
+        return None
+    bits = max(1, int(np.ceil(np.log2(sigma + 1))))
+    cpw = 30 // bits
+    est = int(np.ceil(2 * np.log(max(n_pad, 2))
+                      / np.log(max(sigma, 2)))) + ADAPTIVE_SLACK_CHARS
+    n_words = max(1, -(-est // cpw))
+    if n_words > ADAPTIVE_MAX_WORDS:
+        # High-entropy alphabet or long expected LCPs: the coded words
+        # would not cover the LCP anyway; the byte ladder's cheaper
+        # shapes win.
+        return None
+    if cpw * n_words <= 3 * pick_init_words(n_pad):
+        return None  # no more characters than the ladder already sorts
+    lut = np.zeros(256, np.int32)
+    lut[present] = np.arange(1, sigma + 1, dtype=np.int32)
+    return lut, bits, cpw, n_words
 
 
 def suffix_array_bytes(data: np.ndarray | bytes,
@@ -225,6 +312,18 @@ def suffix_array_bytes(data: np.ndarray | bytes,
         dtype, out_dtype = jnp.int32, np.uint32
     if n == 0:
         return np.empty((0,), dtype=out_dtype)
+    plan = _adaptive_plan(arr, n_pad0) if n_pad0 >= ADAPTIVE_PACK_MIN else None
+    if plan is not None:
+        # Alphabet-adaptive dense coding: small alphabets pack enough
+        # characters into the initial words to clear the expected max
+        # LCP in one sort (round3_study densepack measurements).
+        lut, bits, cpw, n_words = plan
+        codes = np.zeros((n_pad0,), dtype=np.int32)
+        codes[:n] = lut[arr]
+        sa_full = np.asarray(
+            _suffix_array_packed(jnp.asarray(codes), n_words, bits, cpw,
+                                 index_dtype=dtype))
+        return sa_full[n_pad0 - n:].astype(out_dtype)
     padded = np.full((n_pad0,), PAD, dtype=np.int32)
     padded[:n] = arr
     # Wider initial sorts are ~free at small sizes (operands cost O(n))
