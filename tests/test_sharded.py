@@ -159,3 +159,49 @@ def test_shape_bucketing_reuses_executable(rng):
     # A size in a different bucket is allowed (and expected) to compile.
     assert db._local_bucket(700, 8) == db._local_bucket(901, 8) == 128
     assert db._local_bucket(5000, 8) == 1024
+
+
+def test_sharded_adaptive_coded_first_round(monkeypatch, rng):
+    """Dense-coded sharded first round: bit-parity with the oracle and
+    with the byte path, on meshes of several sizes (the sharded
+    analogue of ops/prefix_doubling's adaptive engine)."""
+    from suffix_tpu.ops import prefix_doubling as pd
+    from suffix_tpu.parallel import dist_build as db
+
+    monkeypatch.setattr(pd, "ADAPTIVE_PACK_MIN", 16)
+    for n_dev in (2, 8):
+        mesh = make_mesh(n_dev)
+        for n in (700, 4096):
+            arr = (rng.integers(0, 4, n, dtype=np.uint8) + 97)
+            assert db._sharded_adaptive_plan(
+                arr, db._local_bucket(n, n_dev) * n_dev,
+                db._local_bucket(n, n_dev)) is not None
+            got = suffix_array_sharded(arr, mesh)
+            assert np.array_equal(got, naive_table(arr.tobytes()))
+
+
+def test_sharded_adaptive_stepped_resume(monkeypatch, tmp_path, rng):
+    """The coded first round checkpoints as step 0 (k = covered chars)
+    and the stepped build resumes through normal quadrupling rounds."""
+    from suffix_tpu.ops import prefix_doubling as pd
+    from suffix_tpu.parallel.dist_build import suffix_array_sharded_stepped
+
+    monkeypatch.setattr(pd, "ADAPTIVE_PACK_MIN", 16)
+    mesh = make_mesh(4)
+    # Period-9 text: ties survive the first round, forcing resumable
+    # quadrupling rounds after the coded step 0.
+    arr = np.tile(np.frombuffer(b"abcabzbb!", np.uint8), 600)
+    ks = []
+    ckpt = str(tmp_path / "adaptive.ckpt")
+    sa = suffix_array_sharded_stepped(
+        arr, mesh, checkpoint_path=ckpt,
+        round_hook=lambda k, done: ks.append(int(k)))
+    assert np.array_equal(sa, naive_table(arr.tobytes()))
+    assert ks[0] > 3 and len(ks) >= 2  # coded step 0 + >=1 round
+    # Resume from the step-0 checkpoint must give the identical array.
+    import os
+
+    os.replace(ckpt + ".prev", ckpt) if os.path.exists(ckpt + ".prev") else None
+    sa2 = suffix_array_sharded_stepped(arr, mesh, checkpoint_path=ckpt,
+                                       resume=True)
+    assert np.array_equal(sa2, sa)
