@@ -138,13 +138,15 @@ def main() -> None:
     # --- 100 KB fixture (direct comparison point) ------------------------
     n_fix = bucket_size(len(fixture))
     pad = np.full(n_fix, PAD, np.int32)
-    pad[: len(fixture)] = np.frombuffer(fixture, np.uint8)
+    fix_u8 = np.frombuffer(fixture, np.uint8)
+    pad[: len(fixture)] = fix_u8
     t_fix = jnp.asarray(pad)
     sync(t_fix)
     iw_fix = pick_init_words(n_fix)
-    sync(_suffix_array_padded(t_fix, iw_fix))
-    dt_fix = _throughput_time(lambda: _suffix_array_padded(t_fix, iw_fix),
-                              sync)
+    build_fix, _, fix_label = device_build_fn(fix_u8, n_fix)
+    detail["construct_100KB_engine"] = fix_label
+    sync(build_fix())
+    dt_fix = _throughput_time(build_fix, sync)
     detail["construct_100KB_fixture_s"] = round(dt_fix, 4)
     detail["construct_100KB_fixture_MBps"] = round(len(fixture) / dt_fix / 1e6, 2)
 

@@ -239,10 +239,12 @@ def _suffix_array_packed(codes: jax.Array, n_words: int, bits: int,
     return _doubling_core(tuple(words), n_words * cpw, index_dtype)
 
 
-# Alphabet-adaptive packing applies from this size up: below it the
-# whole build is a few tens of ms and the ladder's shapes are already
-# warm; above it a saved quadrupling round is ~100+ ms.
-ADAPTIVE_PACK_MIN = 1 << 21
+# Alphabet-adaptive packing applies from this size up: the 100 KB-class
+# build is where a saved invert+round first becomes visible (~ms), and
+# the added compiled-shape diversity ((bits,cpw,words) per bucket) stays
+# a deployment-warmable handful. Below it the byte ladder's shapes are
+# already warm and the whole build is dispatch-bound.
+ADAPTIVE_PACK_MIN = 1 << 17
 # Extra characters beyond the 2*log_sigma(n) expected max LCP of random
 # text: covers the fluctuation tail so the one-shot prediction rarely
 # misses (a miss is correct anyway — rounds continue from h0).
