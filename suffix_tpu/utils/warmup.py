@@ -23,8 +23,14 @@ def warm(n_bytes: int,
          query_batches: tuple[int, ...] = (4096, 65536),
          query_lens: tuple[int, ...] = (16,),
          lcp: bool = True,
+         alphabet_sizes: tuple[int, ...] = (4,),
          verbose: bool = True) -> list[tuple[str, float]]:
     """Compile the full serving pipeline for a corpus of ``n_bytes``.
+
+    ``alphabet_sizes``: corpus classes whose alphabet-adaptive packed
+    build (ops/prefix_doubling._suffix_array_packed) should be warmed in
+    addition to the byte-ladder engine — pass the distinct-byte counts
+    of the deployment's corpora (4 = DNA; () to skip).
 
     Returns [(program, seconds)] for each warmed program.
     """
@@ -32,7 +38,10 @@ def warm(n_bytes: int,
 
     from suffix_tpu.ops import search2
     from suffix_tpu.ops.padding import PAD, bucket_size
-    from suffix_tpu.ops.prefix_doubling import (_suffix_array_padded,
+    from suffix_tpu.ops.prefix_doubling import (ADAPTIVE_PACK_MIN,
+                                                _adaptive_plan,
+                                                _suffix_array_packed,
+                                                _suffix_array_padded,
                                                 pick_init_words)
     from suffix_tpu.utils.platform import setup_compilation_cache, sync
 
@@ -57,6 +66,24 @@ def warm(n_bytes: int,
     iw = pick_init_words(n_pad)
     step(f"build n={n_pad} (init_words={iw})",
          lambda: _suffix_array_padded(t_dev, iw))
+    if n_pad >= ADAPTIVE_PACK_MIN:
+        for sigma in alphabet_sizes:
+            sample = (rng.integers(0, max(int(sigma), 2),
+                                   size=min(n_bytes, 4096),
+                                   dtype=np.uint8) + 97)
+            plan = _adaptive_plan(sample, n_pad)
+            if plan is None:
+                continue
+            _, bits, cpw, n_words = plan
+            codes = np.zeros((n_pad,), np.int32)
+            codes[:n_bytes] = rng.integers(1, int(sigma) + 1,
+                                           size=n_bytes, dtype=np.int32)
+            c_dev = jnp.asarray(codes)
+            sync(c_dev)
+            step(f"adaptive build n={n_pad} sigma={sigma} "
+                 f"({bits}b x {cpw * n_words}ch)",
+                 lambda c=c_dev, w=n_words, b=bits, k=cpw:
+                 _suffix_array_packed(c, w, b, k))
     # Query/LCP programs take the REAL table layout: sa[0:n) = suffix
     # array, zero-filled past n (padding suffixes sliced off).
     sa_full = np.asarray(_suffix_array_padded(t_dev, iw))
