@@ -33,27 +33,40 @@ def main() -> None:
     setup_compilation_cache()
     import jax
     import jax.numpy as jnp
-    from suffix_tpu.ops.prefix_doubling import (_suffix_array_padded,
+    from suffix_tpu.ops.prefix_doubling import (_adaptive_plan,
+                                                _suffix_array_packed,
+                                                _suffix_array_padded,
                                                 pick_init_words)
     from suffix_tpu.ops import search2 as search_ops
 
     n = args.size_mib << 20
     assert n & (n - 1) == 0, "size must be a power of two MiB"
     rng = np.random.default_rng(0xB16)
-    corpus = (rng.integers(0, 4, size=n, dtype=np.uint8) + 97).astype(np.int32)
+    corpus_u8 = rng.integers(0, 4, size=n, dtype=np.uint8) + 97
+    corpus = corpus_u8.astype(np.int32)
     t_dev = jnp.asarray(corpus)
     sync(t_dev)
-    iw = pick_init_words(n)
+    # Production routing: the alphabet-adaptive packed engine when the
+    # corpus class qualifies (it does for this DNA corpus).
+    plan = _adaptive_plan(corpus_u8, n)
+    if plan is not None:
+        lut, bits, cpw, n_words = plan
+        codes = jnp.asarray(lut[corpus_u8].astype(np.int32))
+        sync(codes)
+        build = lambda: _suffix_array_packed(codes, n_words, bits, cpw)
+    else:
+        iw = pick_init_words(n)
+        build = lambda: _suffix_array_padded(t_dev, iw)
 
     t0 = time.perf_counter()
-    sa = _suffix_array_padded(t_dev, iw)
+    sa = build()
     sync(sa)
     compile_and_first = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     r = None
     for _ in range(args.iters):
-        r = _suffix_array_padded(t_dev, iw)
+        r = build()
     sync(r)
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
