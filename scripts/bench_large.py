@@ -78,6 +78,14 @@ def main() -> None:
 
     if args.queries:
         sa32 = sa.astype(jnp.int32)
+        sync(sa32)
+        # Drop every client-held build buffer before the index build: the
+        # timing copy r, the original-dtype sa, and the packed codes the
+        # build closure captured each hold ~n*4 bytes of HBM — at 256 MiB
+        # that is 3 GB the query-index build needs back.
+        del r, sa, build
+        if plan is not None:
+            del codes
         # with_keys=False: the merge engine needs only fences + blocks;
         # the flat key copy would OOM the 128 MiB corpus on 16 GB HBM.
         _pk, fence, blk, _ = search_ops.build_query_index(

@@ -56,12 +56,77 @@ def _pack3(s0, s1, s2):
     return (s0 << 18) | (s1 << 9) | s2
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("key_words", "stride", "with_keys"))
-def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array,
+# Above this padded size the one-program index build exceeds 16 GB HBM
+# (XLA memory analysis at 2^28: 2 GiB args + 6.1 GiB output + 8 GiB temp
+# = 16.1 GiB — the update-slice chain is not aliased with the output);
+# route to the host-stepped lean builder with explicit buffer donation.
+LEAN_MIN_PAD = 1 << 28
+
+
+def build_query_index(text: jax.Array, table: jax.Array, n_table,
                       key_words: int = KEY_WORDS,
                       stride: int | None = None,
                       with_keys: bool = True):
+    """Host-level entry: one-program build, or the memory-lean stepped
+    build for huge corpora (see ``LEAN_MIN_PAD``). Same result tree."""
+    n_pad = text.shape[0]
+    eff_stride = _fence_stride(n_pad) if stride is None else stride
+    if not with_keys and eff_stride > 1 and n_pad >= LEAN_MIN_PAD:
+        return _build_query_index_lean(text, table, jnp.int32(n_table),
+                                       key_words, eff_stride)
+    return _build_query_index_jit(text, table, jnp.int32(n_table),
+                                  key_words=key_words, stride=stride,
+                                  with_keys=with_keys)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "key_words"))
+def _packed_word(text: jax.Array, table: jax.Array, n_table: jax.Array,
+                 w: int, key_words: int):
+    """Key word ``w`` alone (rank order) — one step of the lean build."""
+    n_pad = text.shape[0]
+    sym = (text + 1).astype(jnp.int32)
+    sym_ext = jnp.concatenate([sym, jnp.zeros((3 * key_words,), jnp.int32)])
+    s = [sym_ext[k:k + n_pad] for k in range(3 * w, 3 * w + 3)]
+    word = jnp.take(_pack3(s[0], s[1], s[2]), table)
+    mask_real = jnp.arange(n_pad) < n_table
+    return jnp.where(mask_real, word, jnp.int32(PAD_KEY))
+
+
+@functools.partial(jax.jit, static_argnames=("w", "stride"),
+                   donate_argnums=(0,))
+def _blk_write(pk_block: jax.Array, word: jax.Array, w: int, stride: int):
+    return jax.lax.dynamic_update_slice(
+        pk_block, word.reshape(-1, stride), (0, w * stride))
+
+
+def _build_query_index_lean(text, table, n_table, key_words: int,
+                            stride: int):
+    """with_keys=False index build as key_words host-stepped programs.
+
+    Peak HBM = block buffer (donated, updated in place) + ONE word in
+    flight + the word program's temps — ~10 GB at a 256 MiB corpus vs
+    16.1 GiB for the one-program form, which is what lets a 256 MiB
+    index build on a single 16 GB chip. Extra cost: key_words dispatches
+    (~ms) on a once-per-corpus operation.
+    """
+    n_pad = text.shape[0]
+    pk_block = jnp.zeros((n_pad // stride, key_words * stride), jnp.int32)
+    fences = []
+    for w in range(key_words):
+        word = _packed_word(text, table, n_table, w, key_words)
+        fences.append(word[::stride])
+        pk_block = _blk_write(pk_block, word, w, stride)
+        del word
+    return None, tuple(fences), pk_block, None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("key_words", "stride", "with_keys"))
+def _build_query_index_jit(text: jax.Array, table: jax.Array,
+                           n_table: jax.Array,
+                           key_words: int = KEY_WORDS,
+                           stride: int | None = None,
+                           with_keys: bool = True):
     """Packed rank keys (``key_words`` words) + 2-symbol LUT.
 
     ``text`` is the PAD-padded int32 text, ``table`` the padded suffix
@@ -70,9 +135,10 @@ def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array,
     batches with long patterns (3 words of index memory per extra 9
     covered bytes). ``stride`` overrides the measured fence-stride ladder
     (consumers read it back from pk_block's shape). ``with_keys=False``
-    drops the flat key tuple from the result (pk[0] slot is None) —
-    the merge engine needs only fences + blocks, and the flat copy is
-    half the index's HBM footprint (it OOMs a 128 MiB corpus on 16 GB).
+    drops the flat key tuple AND the probe-engine LUT from the result
+    (their slots are None) — the merge engine needs only fences +
+    blocks, and the flat copy is half the index's HBM footprint (it
+    OOMs a 128 MiB corpus on 16 GB).
     """
     n_pad = text.shape[0]
     key_syms = 3 * key_words
@@ -82,34 +148,60 @@ def build_query_index(text: jax.Array, table: jax.Array, n_table: jax.Array,
     sym_ext = jnp.concatenate([sym, jnp.zeros((key_syms,), jnp.int32)])
     s = [sym_ext[k:k + n_pad] for k in range(key_syms)]
     mask_real = jnp.arange(n_pad) < n_table
-    pk = []
-    for w in range(key_words):
-        word_text = _pack3(s[3 * w], s[3 * w + 1], s[3 * w + 2])
-        word = jnp.take(word_text, table)
-        pk.append(jnp.where(mask_real, word, jnp.int32(PAD_KEY)))
+    if stride is None:
+        stride = _fence_stride(n_pad)
 
-    # LUT over the leading two symbols: first rank with 2-symbol value >= v.
-    s0 = pk[0] >> (2 * SYM_BITS)
-    s1 = (pk[0] >> SYM_BITS) & (2**SYM_BITS - 1)
-    v = jnp.where(mask_real, s0 * LUT_SIDE + s1, LUT_SIDE * LUT_SIDE)
-    targets = jnp.arange(LUT_SIDE * LUT_SIDE + 1, dtype=jnp.int32)
-    lut = jnp.searchsorted(v, targets, side="left").astype(jnp.int32)
-
-    # Blocked layout for the fence engine: (n/stride, words, stride),
-    # contiguous per block so one row-gather fetches a whole block of all
-    # key words (row gathers are ~4x faster than element gathers on TPU).
+    # Blocked layout for the fence engine: a FLAT (n/stride, words*stride)
+    # row per block — word w occupies columns [w*stride, (w+1)*stride) —
+    # so one row-gather fetches a whole block of all key words (row
+    # gathers are ~4x faster than element gathers on TPU). Flat rather
+    # than (n/stride, words, stride): the rank-3 form is tiled (8, 128)
+    # on its two minor dims, padding (6, 64) to (8, 128) = 2x HBM for
+    # the index's largest buffer AND 2x the bytes per block fetch.
     # Fences (every stride-th key) are materialized HERE, once per index:
     # extracting them per query batch costs ~25 ms/4M of strided reads
     # (measured v5e) — half the whole engine's budget.
-    if stride is None:
-        stride = _fence_stride(n_pad)
-    if stride > 1:
-        pk_block = jnp.stack([w.reshape(-1, stride) for w in pk], axis=1)
-        pk_fence = tuple(w[::stride] for w in pk)
+    # Each word is written into the preallocated block buffer as it is
+    # computed (dynamic_update_slice chain, updated in place by XLA)
+    # rather than concatenated at the end: with_keys=False, holding all
+    # key_words word arrays alive while forming the block copy doubles
+    # the peak (12+ GB at 256 MiB — the measured OOM); this way each
+    # word dies once written and a 256 MiB index fits 16 GB HBM.
+    pk = []
+    pk_fence = []
+    pk_block = (jnp.zeros((n_pad // stride, key_words * stride), jnp.int32)
+                if stride > 1 else None)
+    word0 = None
+    for w in range(key_words):
+        word_text = _pack3(s[3 * w], s[3 * w + 1], s[3 * w + 2])
+        word = jnp.take(word_text, table)
+        word = jnp.where(mask_real, word, jnp.int32(PAD_KEY))
+        if w == 0 and with_keys:
+            word0 = word
+        if with_keys:
+            pk.append(word)
+        if stride > 1:
+            pk_fence.append(word[::stride])
+            pk_block = jax.lax.dynamic_update_slice(
+                pk_block, word.reshape(-1, stride), (0, w * stride))
+        else:
+            pk_fence.append(word)
+
+    # LUT over the leading two symbols: first rank with 2-symbol value
+    # >= v. Only the probe engine (bounds_batch_fast) reads it, and the
+    # probe engine needs the flat keys too — so it is gated on with_keys,
+    # which also drops its n-sized intermediates from the memory-lean
+    # large-corpus program.
+    if with_keys:
+        s0 = word0 >> (2 * SYM_BITS)
+        s1 = (word0 >> SYM_BITS) & (2**SYM_BITS - 1)
+        v = jnp.where(mask_real, s0 * LUT_SIDE + s1, LUT_SIDE * LUT_SIDE)
+        targets = jnp.arange(LUT_SIDE * LUT_SIDE + 1, dtype=jnp.int32)
+        lut = jnp.searchsorted(v, targets, side="left").astype(jnp.int32)
     else:
-        pk_block = None
-        pk_fence = tuple(pk)
-    return (tuple(pk) if with_keys else None), pk_fence, pk_block, lut
+        lut = None
+
+    return (tuple(pk) if with_keys else None), tuple(pk_fence), pk_block, lut
 
 
 def _batch_query_keys(queries: jax.Array, qlens: jax.Array,
@@ -177,15 +269,16 @@ def _fence_ranks_both(fk: list, qk: list, qk_hi: list):
 def _block_count(pk_block, blocks, qk: list, less_equal: bool):
     """count of keys in block ``blocks[q]`` below query q's key.
 
-    One row-gather fetches (words, stride) per query — all consecutive
-    bytes — then pure vector compares.
+    One row-gather fetches the flat (words*stride) block row per query —
+    all consecutive bytes — then pure vector compares on column slices.
     """
-    rows = jnp.take(pk_block, blocks, axis=0)  # (Q, W, S)
-    q_shape = (blocks.shape[0], pk_block.shape[2])
+    stride = pk_block.shape[1] // len(qk)
+    rows = jnp.take(pk_block, blocks, axis=0)  # (Q, W*S)
+    q_shape = (blocks.shape[0], stride)
     lt = jnp.zeros(q_shape, bool)
     eq = jnp.ones(q_shape, bool)
     for w, q in enumerate(qk):
-        vals = rows[:, w, :]
+        vals = rows[:, w * stride:(w + 1) * stride]
         qc = q[:, None]
         lt = lt | (eq & (vals < qc))
         eq = eq & (vals == qc)
@@ -264,7 +357,7 @@ def bounds_batch_merge(text, n_text, table, n_table, pk_fence, pk_block,
     key_syms = 3 * key_words
     qk, qk_hi = _batch_query_keys(queries, qlens, key_words)
 
-    stride = 1 if pk_block is None else pk_block.shape[2]
+    stride = 1 if pk_block is None else pk_block.shape[1] // key_words
 
     r_lo, r_up = _fence_ranks_both(list(pk_fence), qk, qk_hi)
 

@@ -137,10 +137,12 @@ def _build_keys_shard(text_local: jax.Array, table_local: jax.Array,
     stride = s2._fence_stride(n_local)
     if stride > 1:
         pk_fence = tuple(w[::stride] for w in pk)
-        pk_block = jnp.stack([w.reshape(-1, stride) for w in pk], axis=1)
+        pk_block = jnp.concatenate(
+            [w.reshape(-1, stride) for w in pk], axis=1)
     else:
         pk_fence = tuple(pk)
-        pk_block = jnp.stack([w.reshape(-1, 1) for w in pk], axis=1)
+        pk_block = jnp.concatenate(
+            [w.reshape(-1, 1) for w in pk], axis=1)
     return pk_fence, pk_block
 
 
@@ -150,7 +152,7 @@ def _local_below_counts(pk_fence, pk_block, qk, qk_hi, n_local: int):
     The fence sort + one block row-gather, exactly the single-chip merge
     engine (ops/search2.py) applied to the local block.
     """
-    stride = pk_block.shape[2]
+    stride = pk_block.shape[1] // s2.KEY_WORDS
     r_lo, r_up = s2._fence_ranks_both(list(pk_fence), qk, qk_hi)
     if stride == 1:
         return r_lo, r_up
@@ -280,7 +282,9 @@ def _lcp_shard(text, n_text, table_local, pk_block, n_table,
                                  incoming)
         return jnp.concatenate([incoming, x[:-1]])
 
-    words = [pk_block[:, w, :].reshape(-1) for w in range(s2.KEY_WORDS)]
+    blk_stride = pk_block.shape[1] // s2.KEY_WORDS
+    words = [pk_block[:, w * blk_stride:(w + 1) * blk_stride].reshape(-1)
+             for w in range(s2.KEY_WORDS)]
     lcp = jnp.zeros((n_local,), jnp.int32)
     undecided = valid
     for word in words:

@@ -246,3 +246,30 @@ def test_huge_index_route_no_flat_keys(dna_10k, monkeypatch):
         a, b = ref.positions(q), huge.positions(q)
         assert sorted(a.tolist()) == sorted(b.tolist()), q
     np.testing.assert_array_equal(ref.lcp_lens(), huge.lcp_lens())
+
+
+def test_lean_index_build_matches_monolithic(dna_10k):
+    """The host-stepped lean builder (LEAN_MIN_PAD route: donated block
+    buffer, one word in flight — what lets a 256 MiB index build inside
+    16 GB HBM) must produce bit-identical fences and blocks to the
+    one-program with_keys=False build."""
+    text = dna_10k[:5000]
+    n = len(text)
+    n_pad = bucket_size(n)
+    padded = np.full((n_pad,), PAD, np.int32)
+    padded[:n] = np.frombuffer(text, np.uint8)
+    t_dev = jnp.asarray(padded)
+    st = SuffixTable.new(text)
+    tab = np.zeros((n_pad,), np.int32)
+    tab[:n] = np.asarray(st.table(), np.int32)
+    tab_dev = jnp.asarray(tab)
+
+    pk, fence_a, blk_a, lut = s2.build_query_index(
+        t_dev, tab_dev, jnp.int32(n), with_keys=False)
+    assert pk is None and lut is None
+    stride = blk_a.shape[1] // s2.KEY_WORDS
+    _, fence_b, blk_b, _ = s2._build_query_index_lean(
+        t_dev, tab_dev, jnp.int32(n), s2.KEY_WORDS, stride)
+    assert np.array_equal(np.asarray(blk_a), np.asarray(blk_b))
+    for fa, fb in zip(fence_a, fence_b):
+        assert np.array_equal(np.asarray(fa), np.asarray(fb))
