@@ -114,20 +114,24 @@ def _doubling_core(words, h0: int, index_dtype) -> jax.Array:
     # key columns; invert maps equal-rank suffixes to equal values; sa0 is
     # final only when all keys are distinct). Fewer comparator words +
     # unstable sorting measured 15.8 -> 12.3 ms/4M on 3-operand sorts.
-    sorted_ops = jax.lax.sort(tuple(words) + (idx,), num_keys=init_words,
-                              is_stable=False)
-    sa0 = sorted_ops[-1]
-    diff0 = sorted_ops[0][1:] != sorted_ops[0][:-1]
-    for col in sorted_ops[1:init_words]:
-        diff0 = diff0 | (col[1:] != col[:-1])
-    new_flag = jnp.concatenate(
-        [jnp.zeros((1,), index_dtype), diff0.astype(index_dtype)]
-    )
-    dense0 = jnp.cumsum(new_flag)
-    done0 = dense0[-1] == n - 1
-    rank = jax.lax.cond(
-        done0, lambda: dense0, lambda: _invert_permutation(sa0, dense0)
-    )
+    # jax.named_scope per phase: device traces (utils/profiling.
+    # device_trace) attribute time to the P1..P6 passes in xprof.
+    with jax.named_scope("P1_initial_sort"):
+        sorted_ops = jax.lax.sort(tuple(words) + (idx,), num_keys=init_words,
+                                  is_stable=False)
+    with jax.named_scope("P2_initial_rank"):
+        sa0 = sorted_ops[-1]
+        diff0 = sorted_ops[0][1:] != sorted_ops[0][:-1]
+        for col in sorted_ops[1:init_words]:
+            diff0 = diff0 | (col[1:] != col[:-1])
+        new_flag = jnp.concatenate(
+            [jnp.zeros((1,), index_dtype), diff0.astype(index_dtype)]
+        )
+        dense0 = jnp.cumsum(new_flag)
+        done0 = dense0[-1] == n - 1
+        rank = jax.lax.cond(
+            done0, lambda: dense0, lambda: _invert_permutation(sa0, dense0)
+        )
 
     def cond(state):
         _, _, k, done = state
@@ -140,32 +144,36 @@ def _doubling_core(words, h0: int, index_dtype) -> jax.Array:
         # sort cost (net win). Shifted ranks are contiguous slices of
         # [rank | -1...] (clamped; shift >= n => all -1).
         rank, _, k, _ = state
-        rank_ext = jnp.concatenate([rank, neg])
+        with jax.named_scope("P3_shift_ranks"):
+            rank_ext = jnp.concatenate([rank, neg])
 
-        def shifted(mult):
-            off = jnp.minimum(mult * k, n)
-            return jax.lax.dynamic_slice(rank_ext, (off,), (n,))
+            def shifted(mult):
+                off = jnp.minimum(mult * k, n)
+                return jax.lax.dynamic_slice(rank_ext, (off,), (n,))
 
-        s1, s2, s3 = shifted(1), shifted(2), shifted(3)
+            s1, s2, s3 = shifted(1), shifted(2), shifted(3)
         # idx is payload (see the initial sort): ties get equal dense
         # ranks, the final round has no ties.
-        r1, r2, r3, r4, sa = jax.lax.sort(
-            (rank, s1, s2, s3, idx), num_keys=4, is_stable=False
-        )
-        diff = (
-            (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
-            | (r3[1:] != r3[:-1]) | (r4[1:] != r4[:-1])
-        )
-        new_flag = jnp.concatenate(
-            [jnp.zeros((1,), index_dtype), diff.astype(index_dtype)]
-        )
-        dense = jnp.cumsum(new_flag)
-        done = dense[-1] == n - 1
+        with jax.named_scope("P4_round_sort"):
+            r1, r2, r3, r4, sa = jax.lax.sort(
+                (rank, s1, s2, s3, idx), num_keys=4, is_stable=False
+            )
+        with jax.named_scope("P5_dense_rerank"):
+            diff = (
+                (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+                | (r3[1:] != r3[:-1]) | (r4[1:] != r4[:-1])
+            )
+            new_flag = jnp.concatenate(
+                [jnp.zeros((1,), index_dtype), diff.astype(index_dtype)]
+            )
+            dense = jnp.cumsum(new_flag)
+            done = dense[-1] == n - 1
         # The route-home key-sort feeds the NEXT round only; skip it on
         # the final round.
-        new_rank = jax.lax.cond(
-            done, lambda: rank, lambda: _invert_permutation(sa, dense)
-        )
+        with jax.named_scope("P6_route_home"):
+            new_rank = jax.lax.cond(
+                done, lambda: rank, lambda: _invert_permutation(sa, dense)
+            )
         return (new_rank, sa, k * 4, done)
 
     _, sa, _, _ = jax.lax.while_loop(
@@ -216,26 +224,27 @@ def _suffix_array_packed(codes: jax.Array, n_words: int, bits: int,
         ext = jnp.concatenate([arr, jnp.zeros((off,), jnp.int32)])
         return jax.lax.dynamic_slice(ext, (off,), (n,))
 
-    # Logarithmic pair-packing ladder: ladder[k][i] covers
-    # codes[i, i + 2^k) — log2 streaming passes instead of cpw
-    # slice-shift-or passes.
-    ladder = [codes]
-    width = 1
-    while 2 * width <= cpw:
-        prev = ladder[-1]
-        ladder.append((prev << (bits * width)) | shifted(prev, width))
-        width *= 2
-    # Compose an arbitrary cpw from the ladder's binary components
-    # (e.g. 10 chars = 8 + 2): fold set bits of cpw from the MSB down.
-    comp = None
-    off = 0
-    for k in range(len(ladder) - 1, -1, -1):
-        w = 1 << k
-        if cpw & w:
-            part = shifted(ladder[k], off)
-            comp = part if comp is None else (comp << (bits * w)) | part
-            off += w
-    words = [shifted(comp, w * cpw) for w in range(n_words)]
+    with jax.named_scope("P0_dense_pack"):
+        # Logarithmic pair-packing ladder: ladder[k][i] covers
+        # codes[i, i + 2^k) — log2 streaming passes instead of cpw
+        # slice-shift-or passes.
+        ladder = [codes]
+        width = 1
+        while 2 * width <= cpw:
+            prev = ladder[-1]
+            ladder.append((prev << (bits * width)) | shifted(prev, width))
+            width *= 2
+        # Compose an arbitrary cpw from the ladder's binary components
+        # (e.g. 10 chars = 8 + 2): fold set bits of cpw from the MSB down.
+        comp = None
+        off = 0
+        for k in range(len(ladder) - 1, -1, -1):
+            w = 1 << k
+            if cpw & w:
+                part = shifted(ladder[k], off)
+                comp = part if comp is None else (comp << (bits * w)) | part
+                off += w
+        words = [shifted(comp, w * cpw) for w in range(n_words)]
     return _doubling_core(tuple(words), n_words * cpw, index_dtype)
 
 

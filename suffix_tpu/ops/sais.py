@@ -164,10 +164,11 @@ def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
     idx = jnp.arange(n, dtype=jnp.int32)
     sym = (text + 1).astype(jnp.int32)
 
-    is_s, is_lms = classify_types(text)
-    is_l = jnp.logical_not(is_s)
-    m, gamma = run_decompose(text)
-    counts, heads, tails = bucket_layout(text, n_sym)
+    with jax.named_scope("S1_classify_buckets"):
+        is_s, is_lms = classify_types(text)
+        is_l = jnp.logical_not(is_s)
+        m, gamma = run_decompose(text)
+        counts, heads, tails = bucket_layout(text, n_sym)
     g_clip = jnp.minimum(gamma, n - 1)
     g_sym = jnp.take(sym, gamma, mode="fill", fill_value=-1)  # -1: text end
     g_is_lms = jnp.take(is_lms, g_clip) & (gamma < n)
@@ -183,34 +184,35 @@ def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
         return jnp.any(is_l & (l_rank == INF)) & (rounds < max_rounds)
 
     def l_round(state):
-        l_rank, rounds = state
-        g_lrank = jnp.take(l_rank, g_clip)
-        g_hi = jnp.where(
-            gamma >= n, -1,
-            g_sym * 2 + jnp.where(g_is_lms, 1, 0),
-        )
-        g_lo = jnp.where(gamma >= n, 0,
-                         jnp.where(g_is_lms,
-                                   jnp.take(lms_class_rank, g_clip),
-                                   g_lrank))
-        ready = (gamma >= n) | g_is_lms | (g_lrank != INF)
-        not_ready = jnp.where(ready, 0, 1).astype(jnp.int32)
-        sk, srdy, _, _, _, sidx = jax.lax.sort(
-            (l_seg_key, not_ready, m, g_hi, g_lo, idx), num_keys=5
-        )
-        pos, seg_start = _segment_positions(sk)
-        # A bucket finalizes only when every candidate in it is ready;
-        # unready ones sort to the segment end, so each element checks its
-        # OWN segment's last element via a 'nearest end to the right'
-        # scan (2 = ready end, 1 = unready end, 0 = interior).
-        seg_end_ready = _own_segment_end_value(sk, 2 - srdy)
-        bucket_head = jnp.take(heads, jnp.minimum(sk, n_sym - 1))
-        cand = bucket_head + pos
-        ok = (sk < n_sym) & (seg_end_ready == 2)
-        new_rank = jnp.full((n,), INF, jnp.int32).at[sidx].set(
-            jnp.where(ok, cand, INF)
-        )
-        return new_rank, rounds + 1
+        with jax.named_scope("S2_L_phase_round"):
+            l_rank, rounds = state
+            g_lrank = jnp.take(l_rank, g_clip)
+            g_hi = jnp.where(
+                gamma >= n, -1,
+                g_sym * 2 + jnp.where(g_is_lms, 1, 0),
+            )
+            g_lo = jnp.where(gamma >= n, 0,
+                             jnp.where(g_is_lms,
+                                       jnp.take(lms_class_rank, g_clip),
+                                       g_lrank))
+            ready = (gamma >= n) | g_is_lms | (g_lrank != INF)
+            not_ready = jnp.where(ready, 0, 1).astype(jnp.int32)
+            sk, srdy, _, _, _, sidx = jax.lax.sort(
+                (l_seg_key, not_ready, m, g_hi, g_lo, idx), num_keys=5
+            )
+            pos, seg_start = _segment_positions(sk)
+            # A bucket finalizes only when every candidate in it is ready;
+            # unready ones sort to the segment end, so each element checks
+            # its OWN segment's last element via a 'nearest end to the
+            # right' scan (2 = ready end, 1 = unready end, 0 = interior).
+            seg_end_ready = _own_segment_end_value(sk, 2 - srdy)
+            bucket_head = jnp.take(heads, jnp.minimum(sk, n_sym - 1))
+            cand = bucket_head + pos
+            ok = (sk < n_sym) & (seg_end_ready == 2)
+            new_rank = jnp.full((n,), INF, jnp.int32).at[sidx].set(
+                jnp.where(ok, cand, INF)
+            )
+            return new_rank, rounds + 1
 
     l_rank0 = jnp.full((n,), INF, jnp.int32)
     l_rank, _ = jax.lax.while_loop(l_cond, l_round, (l_rank0, jnp.int32(0)))
@@ -231,25 +233,26 @@ def _derive_sa(text: jax.Array, lms_class_rank: jax.Array,
         return jnp.any(is_s & (s_rank == INF)) & (rounds < max_rounds)
 
     def s_round(state):
-        s_rank, rounds = state
-        g_l = jnp.take(is_l, g_clip)
-        g_abs = jnp.where(g_l, jnp.take(l_rank, g_clip),
-                          jnp.take(s_rank, g_clip))
-        ready = g_abs != INF  # S γ always exists (PAD tail is L-typed)
-        not_ready = jnp.where(ready, 0, 1).astype(jnp.int32)
-        neg_m = -m
-        sk, srdy, _, _, sidx = jax.lax.sort(
-            (s_seg_key, not_ready, neg_m, g_abs, idx), num_keys=4
-        )
-        pos, _ = _segment_positions(sk)
-        seg_end_ready = _own_segment_end_value(sk, 2 - srdy)
-        base = jnp.take(s_part_start, jnp.minimum(sk, n_sym - 1))
-        cand = base + pos
-        ok = (sk < n_sym) & (seg_end_ready == 2)
-        new_rank = jnp.full((n,), INF, jnp.int32).at[sidx].set(
-            jnp.where(ok, cand, INF)
-        )
-        return new_rank, rounds + 1
+        with jax.named_scope("S3_S_phase_round"):
+            s_rank, rounds = state
+            g_l = jnp.take(is_l, g_clip)
+            g_abs = jnp.where(g_l, jnp.take(l_rank, g_clip),
+                              jnp.take(s_rank, g_clip))
+            ready = g_abs != INF  # S γ always exists (PAD tail is L-typed)
+            not_ready = jnp.where(ready, 0, 1).astype(jnp.int32)
+            neg_m = -m
+            sk, srdy, _, _, sidx = jax.lax.sort(
+                (s_seg_key, not_ready, neg_m, g_abs, idx), num_keys=4
+            )
+            pos, _ = _segment_positions(sk)
+            seg_end_ready = _own_segment_end_value(sk, 2 - srdy)
+            base = jnp.take(s_part_start, jnp.minimum(sk, n_sym - 1))
+            cand = base + pos
+            ok = (sk < n_sym) & (seg_end_ready == 2)
+            new_rank = jnp.full((n,), INF, jnp.int32).at[sidx].set(
+                jnp.where(ok, cand, INF)
+            )
+            return new_rank, rounds + 1
 
     s_rank0 = jnp.full((n,), INF, jnp.int32)
     s_rank, _ = jax.lax.while_loop(s_cond, s_round, (s_rank0, jnp.int32(0)))

@@ -74,6 +74,16 @@ def build_query_index(text: jax.Array, table: jax.Array, n_table,
     if not with_keys and eff_stride > 1 and n_pad >= LEAN_MIN_PAD:
         return _build_query_index_lean(text, table, jnp.int32(n_table),
                                        key_words, eff_stride)
+    if n_pad >= LEAN_MIN_PAD:
+        # The one-program build at this size exceeds 16 GB HBM (see
+        # LEAN_MIN_PAD); surface the routing miss instead of a raw OOM.
+        import warnings
+
+        warnings.warn(
+            f"one-program query-index build at n_pad={n_pad} "
+            f"(>= LEAN_MIN_PAD={LEAN_MIN_PAD}) may exceed single-chip HBM; "
+            "pass with_keys=False (and stride>1) for the memory-lean "
+            "stepped build", RuntimeWarning, stacklevel=2)
     return _build_query_index_jit(text, table, jnp.int32(n_table),
                                   key_words=key_words, stride=stride,
                                   with_keys=with_keys)
@@ -92,11 +102,26 @@ def _packed_word(text: jax.Array, table: jax.Array, n_table: jax.Array,
     return jnp.where(mask_real, word, jnp.int32(PAD_KEY))
 
 
-@functools.partial(jax.jit, static_argnames=("w", "stride"),
-                   donate_argnums=(0,))
-def _blk_write(pk_block: jax.Array, word: jax.Array, w: int, stride: int):
+def _blk_write_impl(pk_block: jax.Array, word: jax.Array, w: int, stride: int):
     return jax.lax.dynamic_update_slice(
         pk_block, word.reshape(-1, stride), (0, w * stride))
+
+
+_blk_write_donate = functools.partial(
+    jax.jit, static_argnames=("w", "stride"), donate_argnums=(0,)
+)(_blk_write_impl)
+_blk_write_plain = functools.partial(
+    jax.jit, static_argnames=("w", "stride")
+)(_blk_write_impl)
+
+
+def _blk_write(pk_block, word, w: int, stride: int):
+    """In-place block-column write; donation only where the backend
+    honors it (the CPU test backend warns 'donated buffers not usable'
+    on every call, drowning real donation regressions on TPU)."""
+    fn = (_blk_write_plain if jax.default_backend() == "cpu"
+          else _blk_write_donate)
+    return fn(pk_block, word, w=w, stride=stride)
 
 
 def _build_query_index_lean(text, table, n_table, key_words: int,

@@ -310,21 +310,24 @@ def _round_body(rank_home: jax.Array, k: jax.Array, n_local: int, n_dev: int):
     lidx = jnp.arange(n_local, dtype=dtype)
     gidx = (me * n_local + lidx).astype(dtype)
 
-    s1, s2, s3 = _halo_fetch3(rank_home, k, n_local, n_dev)
+    with jax.named_scope("D1_halo_shift"):
+        s1, s2, s3 = _halo_fetch3(rank_home, k, n_local, n_dev)
 
     # gidx MUST be a key here (unlike the single-chip engine): in the
     # merge-split stages each device merges [mine ++ partner's] while the
     # partner merges [partner's ++ mine]; with tied keys the two merged
     # orders differ unless the key set is a total order, and the low/high
     # split would then drop/duplicate elements.
-    r, c1, c2, c3, idx = _bitonic_global_sort(
-        [rank_home, s1, s2, s3, gidx], num_keys=5,
-        n_local=n_local, n_dev=n_dev,
-    )
+    with jax.named_scope("D2_global_bitonic_sort"):
+        r, c1, c2, c3, idx = _bitonic_global_sort(
+            [rank_home, s1, s2, s3, gidx], num_keys=5,
+            n_local=n_local, n_dev=n_dev,
+        )
 
     # Dense re-rank in sorted order + route home (shared helper).
-    rank_new, done = _rerank_and_home((r, c1, c2, c3), idx, n_local, n_dev,
-                                      dtype)
+    with jax.named_scope("D3_rerank_route_home"):
+        rank_new, done = _rerank_and_home((r, c1, c2, c3), idx, n_local,
+                                          n_dev, dtype)
     # k == 0 (a resumed legacy checkpoint) ordered by single chars.
     next_k = jnp.where(k == 0, 1, k * 4).astype(dtype)
     return rank_new, idx, next_k, done

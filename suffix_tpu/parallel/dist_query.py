@@ -152,7 +152,11 @@ def _local_below_counts(pk_fence, pk_block, qk, qk_hi, n_local: int):
     The fence sort + one block row-gather, exactly the single-chip merge
     engine (ops/search2.py) applied to the local block.
     """
-    stride = pk_block.shape[1] // s2.KEY_WORDS
+    # Single source of truth with ops/search2.bounds_batch_merge: the key
+    # width comes from the fence tuple, the stride from the block shape —
+    # never from the module constant (a wider shard builder would
+    # otherwise silently mis-slice the block columns).
+    stride = pk_block.shape[1] // len(pk_fence)
     r_lo, r_up = s2._fence_ranks_both(list(pk_fence), qk, qk_hi)
     if stride == 1:
         return r_lo, r_up
@@ -236,7 +240,7 @@ def _refine_dist(text_local, n_text, table_local, queries, qlens, start,
 def _bounds_shard(text, n_text, table_local, pk_fence, pk_block, queries,
                   qlens, n_table, n_local: int, n_dev: int, max_qlen: int):
     """Per-device body: global (start, count) per query, replicated out."""
-    qk, qk_hi = s2._batch_query_keys(queries, qlens)
+    qk, qk_hi = s2._batch_query_keys(queries, qlens, len(pk_fence))
     lo, up = _local_below_counts(pk_fence, pk_block, qk, qk_hi, n_local)
     start = jax.lax.psum(lo, AXIS)
     end = jax.lax.psum(up, AXIS)
@@ -259,7 +263,8 @@ def _bounds_shard(text, n_text, table_local, pk_fence, pk_block, queries,
 
 
 def _lcp_shard(text, n_text, table_local, pk_block, n_table,
-               n_local: int, n_dev: int, block: int = 128):
+               n_local: int, n_dev: int, key_words: int = s2.KEY_WORDS,
+               block: int = 128):
     """Per-device LCP slice (under shard_map), keyed like ops/lcp.py.
 
     Adjacent ranks live in adjacent local slots except each device's rank
@@ -282,9 +287,9 @@ def _lcp_shard(text, n_text, table_local, pk_block, n_table,
                                  incoming)
         return jnp.concatenate([incoming, x[:-1]])
 
-    blk_stride = pk_block.shape[1] // s2.KEY_WORDS
+    blk_stride = pk_block.shape[1] // key_words
     words = [pk_block[:, w * blk_stride:(w + 1) * blk_stride].reshape(-1)
-             for w in range(s2.KEY_WORDS)]
+             for w in range(key_words)]
     lcp = jnp.zeros((n_local,), jnp.int32)
     undecided = valid
     for word in words:
@@ -333,15 +338,17 @@ def _lcp_shard(text, n_text, table_local, pk_block, n_table,
 
     ga0 = jax.lax.psum(jnp.any(undecided).astype(jnp.int32), AXIS) > 0
     lcp, _, _, _ = jax.lax.while_loop(
-        cond, body, (lcp, undecided, jnp.int32(3 * s2.KEY_WORDS), ga0)
+        cond, body, (lcp, undecided, jnp.int32(3 * key_words), ga0)
     )
     return jnp.where(valid, lcp, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_local", "n_dev", "key_words", "mesh"))
 def _lcp_jit(text, n_text, table, pk_block, n_table, n_local: int,
-             n_dev: int, mesh: Mesh):
-    fn = functools.partial(_lcp_shard, n_local=n_local, n_dev=n_dev)
+             n_dev: int, key_words: int, mesh: Mesh):
+    fn = functools.partial(_lcp_shard, n_local=n_local, n_dev=n_dev,
+                           key_words=key_words)
     return jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS), P(), P(AXIS), P(AXIS), P()),
@@ -439,7 +446,7 @@ class ShardedQueryIndex:
         """
         out = _lcp_jit(self._text, jnp.int32(self.n), self._table,
                        self._pk_block, jnp.int32(self.n), self.n_local,
-                       self.n_dev, self.mesh)
+                       self.n_dev, len(self._pk_fence), self.mesh)
         return np.asarray(out)[:self.n].astype(np.uint32)
 
     def positions_batch(self, queries) -> list[np.ndarray]:

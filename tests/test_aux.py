@@ -58,3 +58,30 @@ def test_profile_span_sync():
     with prof.span("op", bytes_processed=400, sync=x):
         y = x * 2
     assert prof.passes[0].mb_per_s >= 0
+
+
+def test_build_programs_carry_named_scopes():
+    """Device traces must attribute time to per-pass scopes (SURVEY §5):
+    the jitted build programs carry jax.named_scope annotations that
+    surface in the lowered module's debug info (and hence in xprof)."""
+    import jax.numpy as jnp
+
+    from suffix_tpu.ops import prefix_doubling as pd
+    from suffix_tpu.ops import sais
+
+    t = jnp.zeros((256,), jnp.int32)
+    txt = pd._suffix_array_padded.lower(t, init_words=4).as_text(
+        debug_info=True)
+    for name in ["P1_initial_sort", "P2_initial_rank", "P3_shift_ranks",
+                 "P4_round_sort", "P5_dense_rerank", "P6_route_home"]:
+        assert name in txt, name
+
+    txt2 = pd._suffix_array_packed.lower(
+        jnp.zeros((512,), jnp.int32), 2, 3, 10).as_text(debug_info=True)
+    assert "P0_dense_pack" in txt2 and "P4_round_sort" in txt2
+
+    ranks = jnp.zeros((256,), jnp.int32)
+    txt3 = sais._derive_sa.lower(t, ranks).as_text(debug_info=True)
+    for name in ["S1_classify_buckets", "S2_L_phase_round",
+                 "S3_S_phase_round"]:
+        assert name in txt3, name

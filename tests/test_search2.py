@@ -273,3 +273,59 @@ def test_lean_index_build_matches_monolithic(dna_10k):
     assert np.array_equal(np.asarray(blk_a), np.asarray(blk_b))
     for fa, fb in zip(fence_a, fence_b):
         assert np.array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_lean_route_through_public_entry(dna_10k, monkeypatch):
+    """The LEAN_MIN_PAD routing branch of the public build_query_index
+    (with_keys=False + stride>1 + huge n_pad) must actually take the
+    host-stepped lean builder and serve bit-identical positions — a
+    routing regression here would only surface as an OOM on real
+    256 MiB TPU runs."""
+    text = dna_10k[:8192]
+    ref = SuffixTable.new(text)
+    ref.query_route = "device"
+
+    monkeypatch.setattr(s2, "LEAN_MIN_PAD", 1 << 10)
+    monkeypatch.setattr(SuffixTable, "FLAT_KEYS_MAX_PAD", 1 << 9)
+    took_lean = []
+    orig = s2._build_query_index_lean
+
+    def spy(*a, **k):
+        took_lean.append(True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(s2, "_build_query_index_lean", spy)
+    lean = SuffixTable.new(text)
+    lean.query_route = "device"
+    lean._ensure_device()
+    assert took_lean, "public entry did not route to the lean builder"
+    assert lean._pk is None
+    queries = [text[i:i + l].decode("latin-1")
+               for i, l in [(3, 2), (50, 14), (100, 19), (200, 30)]] + ["ZZ"]
+    for q in queries:
+        assert sorted(ref.positions(q).tolist()) == \
+            sorted(lean.positions(q).tolist()), q
+
+
+def test_monolithic_route_past_lean_min_pad_warns(dna_10k, monkeypatch):
+    """A with_keys=True build at n_pad >= LEAN_MIN_PAD silently exceeded
+    16 GB HBM before; it must now warn and point at with_keys=False."""
+    import pytest
+
+    text = dna_10k[:5000]
+    n = len(text)
+    n_pad = bucket_size(n)
+    padded = np.full((n_pad,), PAD, np.int32)
+    padded[:n] = np.frombuffer(text, np.uint8)
+    st = SuffixTable.new(text)
+    tab = np.zeros((n_pad,), np.int32)
+    tab[:n] = np.asarray(st.table(), np.int32)
+    t_dev, tab_dev = jnp.asarray(padded), jnp.asarray(tab)
+
+    monkeypatch.setattr(s2, "LEAN_MIN_PAD", 1 << 10)
+    with pytest.warns(RuntimeWarning, match="with_keys=False"):
+        s2.build_query_index(t_dev, tab_dev, jnp.int32(n), with_keys=True)
+    # stride<=1 override with with_keys=False also falls through: warn too.
+    with pytest.warns(RuntimeWarning, match="with_keys=False"):
+        s2.build_query_index(t_dev, tab_dev, jnp.int32(n), with_keys=False,
+                             stride=1)
