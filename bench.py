@@ -237,10 +237,11 @@ def main() -> None:
             st_small = SuffixTable.new(fixture, engine="native")
             st_small.query_route = "host"
             pat = fixture[5000:5014]
-            st_small.positions(pat)  # warm
+            st_small.positions(pat)  # warm: routes + binds the C method
+            pos_fn = st_small.positions  # the instance-bound extension op
             t0 = time.perf_counter()
             for _ in range(n_small):
-                st_small.positions(pat)
+                pos_fn(pat)
             detail["single_query_ns_host"] = round(
                 (time.perf_counter() - t0) / n_small * 1e9)
     except Exception as e:
@@ -288,10 +289,11 @@ def main() -> None:
     # --- LCP on the 4 MiB index (keyed + chunked refinement) -------------
     from suffix_tpu.ops.lcp import _lcp_keyed
 
-    sync(_lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n), tuple(_pk)))
+    sync(_lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n),
+                    tuple(_pk))[0])
     dt_l = _throughput_time(
         lambda: _lcp_keyed(t_dev, jnp.int32(n), sa_dev, jnp.int32(n),
-                           tuple(_pk)), sync)
+                           tuple(_pk))[0], sync)
     detail["lcp_4MiB_s"] = round(dt_l, 4)
     detail["lcp_4MiB_MBps"] = round(n / dt_l / 1e6, 1)
 

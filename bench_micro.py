@@ -55,15 +55,24 @@ PUBLISHED = {
 MANY = "ACTTACGTGTCTGC"  # 14-char hit (tests/bench.rs:110-133)
 
 
-def timeit(fn, min_time=0.3, max_iter=200_000) -> float:
-    """ns per call, repeated until min_time total."""
-    fn()  # warm
+def timeit(fn, *args, min_time=0.3, max_iter=200_000) -> float:
+    """ns per call, repeated until min_time total.
+
+    ``args`` are passed straight to ``fn`` inside the timed loop —
+    timing ``fn(q)`` itself rather than a capturing lambda, whose extra
+    Python frame (~70 ns) would swamp the C-extension rows."""
+    fn(*args)  # warm
     n, total = 0, 0.0
     while total < min_time and n < max_iter:
         batch = max(1, n or 8)
         t0 = time.perf_counter()
-        for _ in range(batch):
-            fn()
+        if args:
+            (a,) = args
+            for _ in range(batch):
+                fn(a)
+        else:
+            for _ in range(batch):
+                fn()
         total += time.perf_counter() - t0
         n += batch
     return total / n * 1e9
@@ -129,8 +138,9 @@ def host_rows() -> tuple[dict[str, float], dict[str, float]]:
             ("search_suffix_exists_many_contains", MANY.encode(),
              "contains"),
         ):
-            fn = getattr(st, op)
-            rows[name] = timeit(lambda fn=fn, q=q: fn(q))
+            getattr(st, op)(q)  # first call routes + binds the C method
+            fn = getattr(st, op)  # re-resolve: the instance-bound method
+            rows[name] = timeit(fn, q)
             c = st._ensure_host_handle().bench_c_only(q, op=op)
             if c is not None:
                 c_rows[name] = c

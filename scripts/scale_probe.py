@@ -50,7 +50,7 @@ def main():
     pk, _, _, _ = s2.build_query_index(t_dev, sa, jnp.int32(n))
     sync(pk[0])
     dt = amortized(lambda: _lcp_keyed(t_dev, jnp.int32(n), sa, jnp.int32(n),
-                                      tuple(pk)), n_iter=4)
+                                      tuple(pk))[0], n_iter=4)
     print(f"2^26 lcp: {dt*1e3:8.1f} ms ({n/dt/1e6:6.1f} MB/s)", flush=True)
 
 

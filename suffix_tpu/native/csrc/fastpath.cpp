@@ -90,15 +90,53 @@ inline bool query_bytes(PyObject* query, const uint8_t** q, uint32_t* qlen) {
   return true;
 }
 
+// Like query_bytes but also accepts str (indexed as UTF-8 — the
+// SuffixTable contract, src/table.rs:66) and any bytes-like object.
+// Doing the coercion here instead of in Python is what lets SuffixTable
+// bind these methods directly onto instances (single attribute lookup +
+// one C call per operation). *owner receives a new reference when a
+// temporary had to be materialized; release it AFTER consuming *q.
+inline bool query_view(PyObject* query, const uint8_t** q, uint32_t* qlen,
+                       PyObject** owner) {
+  *owner = nullptr;
+  if (PyBytes_Check(query)) {
+    *q = reinterpret_cast<const uint8_t*>(PyBytes_AS_STRING(query));
+    *qlen = static_cast<uint32_t>(PyBytes_GET_SIZE(query));
+    return true;
+  }
+  if (PyUnicode_Check(query)) {
+    Py_ssize_t l;
+    const char* s = PyUnicode_AsUTF8AndSize(query, &l);
+    if (!s) return false;
+    *q = reinterpret_cast<const uint8_t*>(s);
+    *qlen = static_cast<uint32_t>(l);
+    return true;  // the UTF-8 cache lives as long as the str itself
+  }
+  // Buffer-protocol objects only (bytearray / memoryview / ndarray):
+  // PyBytes_FromObject alone would zero-fill from a plain int.
+  if (!PyObject_CheckBuffer(query)) {
+    PyErr_SetString(PyExc_TypeError, "query must be bytes, str or buffer");
+    return false;
+  }
+  PyObject* b = PyBytes_FromObject(query);
+  if (!b) return false;
+  *owner = b;
+  *q = reinterpret_cast<const uint8_t*>(PyBytes_AS_STRING(b));
+  *qlen = static_cast<uint32_t>(PyBytes_GET_SIZE(b));
+  return true;
+}
+
 // bounds(query: bytes) -> (start, count)
 PyObject* Bounds_bounds(PyObject* self_obj, PyObject* query) {
   BoundsObject* self = reinterpret_cast<BoundsObject*>(self_obj);
   const uint8_t* q;
   uint32_t qlen;
-  if (!query_bytes(query, &q, &qlen)) return nullptr;
+  PyObject* owner;
+  if (!query_view(query, &q, &qlen, &owner)) return nullptr;
   uint32_t start, count;
   stpu::bounds_core(self->text_p, self->n, self->sa_p, q, qlen, &start,
                     &count);
+  Py_XDECREF(owner);
   return Py_BuildValue("II", (unsigned int)start, (unsigned int)count);
 }
 
@@ -109,10 +147,12 @@ PyObject* Bounds_positions(PyObject* self_obj, PyObject* query) {
   BoundsObject* self = reinterpret_cast<BoundsObject*>(self_obj);
   const uint8_t* q;
   uint32_t qlen;
-  if (!query_bytes(query, &q, &qlen)) return nullptr;
+  PyObject* owner;
+  if (!query_view(query, &q, &qlen, &owner)) return nullptr;
   uint32_t start, count;
   stpu::bounds_core(self->text_p, self->n, self->sa_p, q, qlen, &start,
                     &count);
+  Py_XDECREF(owner);
   npy_intp dims[1] = {static_cast<npy_intp>(count)};
   PyObject* view = PyArray_New(
       &PyArray_Type, 1, dims, NPY_UINT32, nullptr,
@@ -134,9 +174,12 @@ PyObject* Bounds_contains(PyObject* self_obj, PyObject* query) {
   BoundsObject* self = reinterpret_cast<BoundsObject*>(self_obj);
   const uint8_t* q;
   uint32_t qlen;
-  if (!query_bytes(query, &q, &qlen)) return nullptr;
-  if (stpu::contains_core(self->text_p, self->n, self->sa_p, q, qlen))
-    Py_RETURN_TRUE;
+  PyObject* owner;
+  if (!query_view(query, &q, &qlen, &owner)) return nullptr;
+  const bool hit =
+      stpu::contains_core(self->text_p, self->n, self->sa_p, q, qlen);
+  Py_XDECREF(owner);
+  if (hit) Py_RETURN_TRUE;
   Py_RETURN_FALSE;
 }
 
@@ -145,10 +188,12 @@ PyObject* Bounds_count(PyObject* self_obj, PyObject* query) {
   BoundsObject* self = reinterpret_cast<BoundsObject*>(self_obj);
   const uint8_t* q;
   uint32_t qlen;
-  if (!query_bytes(query, &q, &qlen)) return nullptr;
+  PyObject* owner;
+  if (!query_view(query, &q, &qlen, &owner)) return nullptr;
   uint32_t start, count;
   stpu::bounds_core(self->text_p, self->n, self->sa_p, q, qlen, &start,
                     &count);
+  Py_XDECREF(owner);
   return PyLong_FromUnsignedLong(count);
 }
 
@@ -159,10 +204,12 @@ PyObject* Bounds_any_position(PyObject* self_obj, PyObject* query) {
   BoundsObject* self = reinterpret_cast<BoundsObject*>(self_obj);
   const uint8_t* q;
   uint32_t qlen;
-  if (!query_bytes(query, &q, &qlen)) return nullptr;
+  PyObject* owner;
+  if (!query_view(query, &q, &qlen, &owner)) return nullptr;
   uint32_t start, count;
   stpu::bounds_core(self->text_p, self->n, self->sa_p, q, qlen, &start,
                     &count);
+  Py_XDECREF(owner);
   if (count == 0) Py_RETURN_NONE;
   return PyLong_FromUnsignedLong(self->sa_p[start]);
 }

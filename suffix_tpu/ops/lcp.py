@@ -68,9 +68,36 @@ def _lcp_padded(text: jax.Array, n_text: jax.Array, table: jax.Array,
     return jnp.where(active0 | (idx == 0), lcp, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
+# Auto-routing thresholds (lcp_from_sa(method="auto")): the keyed device
+# refine scans max_lcp/block rounds per surviving chunk, which is
+# O(sum-of-LCPs) — quadratic-class on repetitive corpora (mean LCP ~ n).
+# Route to the linear native Kasai when the survivor count (adjacent
+# pairs sharing all KEY_SYMS leading bytes) exceeds LCP_SURV_ROUTE_MAX
+# (more chunks than the refine amortizes), or when the bounded refine
+# exhausts LCP_MAX_OFF bytes without resolving every pair (huge-LCP
+# corpora that the count alone cannot predict). Both arms are pinned
+# bit-equal to Kasai by tests/test_lcp.py.
+LCP_SURV_ROUTE_MAX = 16384   # 8 chunks of 2048 survivors
+LCP_MAX_OFF = 8192           # ~64 refine rounds of 128 bytes
+
+
+@jax.jit
+def _survivor_count(pk: tuple, n_table: jax.Array) -> jax.Array:
+    """Number of adjacent (valid) rank pairs equal through all packed
+    key words — the lanes the windowed refine would have to walk."""
+    n_pad = pk[0].shape[0]
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    eq = (idx > 0) & (idx < n_table)
+    for word in pk:
+        prev = jnp.concatenate([word[:1], word[:-1]])
+        eq = eq & (word == prev)
+    return jnp.sum(eq.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "max_off"))
 def _lcp_keyed(text: jax.Array, n_text: jax.Array, table: jax.Array,
-               n_table: jax.Array, pk: tuple, block: int = 128) -> jax.Array:
+               n_table: jax.Array, pk: tuple, block: int = 128,
+               max_off: int = 0) -> jax.Array:
     """LCP via the packed rank-order prefix keys.
 
     Lexicographically adjacent suffixes sit in adjacent slots of the
@@ -155,7 +182,7 @@ def _lcp_keyed(text: jax.Array, n_text: jax.Array, table: jax.Array,
         return jnp.where(pos < n_text, w, PAD)
 
     def chunk_step(state):
-        c, lcp_perm = state
+        c, lcp_perm, unres = state
         start = c * cap
         ca = jax.lax.dynamic_slice(p_a, (start,), (cap,))
         cp = jax.lax.dynamic_slice(p_prev, (start,), (cap,))
@@ -163,8 +190,11 @@ def _lcp_keyed(text: jax.Array, n_text: jax.Array, table: jax.Array,
         cact = start + jnp.arange(cap, dtype=jnp.int32) < num_surv
 
         def cond(state):
-            _, active, _ = state
-            return jnp.any(active)
+            _, active, off = state
+            alive = jnp.any(active)
+            if max_off:  # static round budget (method="auto" routing)
+                alive = alive & (off < max_off)
+            return alive
 
         def body(state):
             l, active, off = state
@@ -177,28 +207,48 @@ def _lcp_keyed(text: jax.Array, n_text: jax.Array, table: jax.Array,
             active = active & (run == block) & (off + block < n_text)
             return l, active, off + block
 
-        cl, _, _ = jax.lax.while_loop(
+        cl, act_fin, _ = jax.lax.while_loop(
             cond, body, (cl, cact, jnp.int32(search2.KEY_SYMS))
         )
-        return c + 1, jax.lax.dynamic_update_slice(lcp_perm, cl, (start,))
+        return (c + 1, jax.lax.dynamic_update_slice(lcp_perm, cl, (start,)),
+                unres + jnp.sum(act_fin.astype(jnp.int32)))
 
     # Survivors are compacted to the FRONT, so chunks form an active
     # prefix: stop at the first chunk past num_surv instead of visiting
     # all n_pad/cap chunks (the per-chunk dispatch overhead dominated the
     # whole LCP on real text — measured 28 ms of 44 at 4M with 146
     # survivors; one chunk suffices there).
-    _, lcp_perm = jax.lax.while_loop(
+    _, lcp_perm, unresolved = jax.lax.while_loop(
         lambda s: (s[0] * cap < num_surv) & (s[0] < n_chunks),
-        chunk_step, (jnp.int32(0), p_lcp),
+        chunk_step, (jnp.int32(0), p_lcp, jnp.int32(0)),
     )
     # Un-permute: key-sort by the original index.
     _, lcp = jax.lax.sort((perm, lcp_perm), num_keys=1, is_stable=False)
-    return jnp.where(valid | (idx == 0), lcp, 0)
+    return jnp.where(valid | (idx == 0), lcp, 0), unresolved
+
+
+def _kasai_route(text_bytes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Linear-time host route for the auto fallback (native, else numpy)."""
+    from suffix_tpu import native
+
+    if native.available():
+        return native.kasai(np.asarray(text_bytes, np.uint8).tobytes(), sa)
+    return kasai_host(text_bytes, sa)
 
 
 def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
-                pk: tuple | None = None) -> np.ndarray:
-    """Host wrapper: LCP array (uint32) from text bytes and its SA."""
+                pk: tuple | None = None, method: str = "auto") -> np.ndarray:
+    """Host wrapper: LCP array (uint32) from text bytes and its SA.
+
+    ``method="auto"`` (default) bounds the device wall time on
+    repetitive corpora: if the survivor count exceeds
+    ``LCP_SURV_ROUTE_MAX``, or the round-budgeted refine exhausts
+    ``LCP_MAX_OFF`` bytes with lanes still unresolved, the computation
+    routes to the linear host Kasai (the reference's own linear variant
+    is *disabled*, src/table.rs:314-346 — this engine keeps the device
+    fast path AND a bounded worst case). ``method="device"`` forces the
+    unbounded keyed refine (O(sum-of-LCPs) on pathological corpora).
+    """
     from suffix_tpu.ops.padding import bucket_size
 
     n = int(sa.shape[0])
@@ -219,8 +269,18 @@ def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
         # the LCP refinement only reads the flat keys.
         pk, _, _, _ = search2.build_query_index(t_dev, tab_dev, jnp.int32(n),
                                                 stride=1)
-    out = _lcp_keyed(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
-                     tuple(pk), block=block)
+    if method == "auto":
+        n_surv = int(_survivor_count(tuple(pk), jnp.int32(n)))
+        if n_surv > LCP_SURV_ROUTE_MAX:
+            return _kasai_route(t_np, sa)
+        out, unresolved = _lcp_keyed(t_dev, jnp.int32(n), tab_dev,
+                                     jnp.int32(n), tuple(pk), block=block,
+                                     max_off=LCP_MAX_OFF)
+        if int(unresolved) > 0:
+            return _kasai_route(t_np, sa)
+    else:
+        out, _ = _lcp_keyed(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),
+                            tuple(pk), block=block)
     return np.asarray(out)[:n].astype(np.uint32)
 
 

@@ -85,9 +85,9 @@ class SuffixTable:
         self._pk_ext = None  # extended keys, built on first long-query batch
         self._host_handle = None  # native single-query handle (hybrid route)
         self._init_lock = threading.RLock()  # guards the lazy device state
-        # Per-instance routing (the class attributes below are defaults):
+        # Per-instance routing (class attributes are the defaults):
         # assigning one table's route must not re-route every table.
-        self.query_route = type(self).query_route
+        self._query_route = SuffixTable._QUERY_ROUTE_DEFAULT
         self.HOST_QUERY_MAX = type(self).HOST_QUERY_MAX
         self._route1_cache = None  # (query_route, decision) memo
 
@@ -194,17 +194,22 @@ class SuffixTable:
 
     # ------------------------------------------------------------------- lcp
 
-    def lcp_lens(self, method: str = "device") -> np.ndarray:
+    def lcp_lens(self, method: str = "auto") -> np.ndarray:
         """LCP array (uint32), reference definition src/table.rs:348-361.
 
-        ``method`` selects the engine: "device" (parallel blockwise),
-        "native" (C++ Kasai, linear time), or "kasai" (host numpy oracle).
-        All produce the identical array.
+        ``method`` selects the engine: "auto" (default — parallel keyed
+        device refine with bounded wall time: repetitive corpora whose
+        survivor mass or LCP depth would make the device refine
+        O(sum-of-LCPs) route to the linear Kasai automatically, see
+        ops/lcp.py), "device" (unbounded keyed refine), "native" (C++
+        Kasai, linear time), or "kasai" (host numpy oracle). All produce
+        the identical array.
         """
-        if method == "device":
+        if method in ("auto", "device"):
             # Reuse the query index's packed keys when already built.
             pk = self._pk if self._dev_text is not None else None
-            return lcp_ops.lcp_from_sa(self._bytes, self._table, pk=pk)
+            return lcp_ops.lcp_from_sa(self._bytes, self._table, pk=pk,
+                                       method=method)
         if method == "native":
             from suffix_tpu import native
 
@@ -263,8 +268,26 @@ class SuffixTable:
     # batches answer faster on the host CPU (native binary search,
     # microseconds) than as a device program. Both paths produce
     # identical bounds (pinned by tests/test_hybrid.py).
-    query_route = "auto"  # "auto" | "device" | "host"
+    _QUERY_ROUTE_DEFAULT = "auto"  # "auto" | "device" | "host"
     HOST_QUERY_MAX = 64  # "auto": batches up to this size go to the host
+
+    # Hot single-op methods that _route_host_one binds directly onto the
+    # instance (the C extension method itself — one attribute lookup +
+    # one C call per positions/contains/count/any_position).
+    _EXT_BOUND_OPS = ("positions", "contains", "count", "any_position")
+
+    @property
+    def query_route(self) -> str:
+        return self._query_route
+
+    @query_route.setter
+    def query_route(self, value: str) -> None:
+        # Reassigning the route invalidates the single-query memo AND any
+        # extension methods bound onto the instance by a previous route.
+        self._query_route = value
+        self._route1_cache = None
+        for name in self._EXT_BOUND_OPS:
+            self.__dict__.pop(name, None)
 
     def _route_host(self, nq: int) -> bool:
         if self.query_route == "device":
@@ -301,6 +324,14 @@ class SuffixTable:
             ext = fn = None
         cached = (self.query_route, ext, fn)
         self._route1_cache = cached
+        if ext is not None:
+            # Bind the extension methods straight onto the instance: the
+            # next st.positions(q) is ONE instance-dict lookup + one C
+            # call (no route re-check, no Python-level coercion — the C
+            # side accepts bytes/str/buffer). Measured 622 -> ~190 ns.
+            # The query_route setter pops these on reassignment.
+            for name in self._EXT_BOUND_OPS:
+                self.__dict__[name] = getattr(ext, name)
         return cached
 
     def _bounds_batch(self, queries: Sequence) -> tuple[np.ndarray, np.ndarray]:

@@ -111,7 +111,7 @@ def warm(n_bytes: int,
 
         step(f"lcp n={n_pad}",
              lambda: _lcp_keyed(t_dev, jnp.int32(n_bytes), sa,
-                                jnp.int32(n_bytes), tuple(_pk)))
+                                jnp.int32(n_bytes), tuple(_pk))[0])
     return timings
 
 

@@ -116,10 +116,16 @@ def test_fastpath_positions_view_outlives_handle(fastpath):
     assert np.array_equal(view, expected)
 
 
-def test_fastpath_rejects_non_bytes(fastpath):
-    handle = native.BoundsHandle(b"abc", native.sais(b"abc"))
+def test_fastpath_query_coercion(fastpath):
+    """The extension coerces str (UTF-8) and buffers in C — what lets
+    SuffixTable bind these methods directly onto instances — and still
+    rejects non-bytes-like queries."""
+    handle = native.BoundsHandle(b"ab\xc3\xa9c", native.sais(b"ab\xc3\xa9c"))
+    assert handle._ext.bounds("é") == handle._ext.bounds(b"\xc3\xa9")
+    assert handle._ext.bounds(bytearray(b"ab")) == handle._ext.bounds(b"ab")
+    assert handle._ext.bounds(memoryview(b"c")) == handle._ext.bounds(b"c")
     with pytest.raises(TypeError):
-        handle._ext.bounds("abc")  # str must be encoded by the caller
+        handle._ext.bounds(123)
 
 
 def test_table_host_route_uses_ext_and_matches_device(dna_10k):
