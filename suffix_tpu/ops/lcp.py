@@ -68,17 +68,32 @@ def _lcp_padded(text: jax.Array, n_text: jax.Array, table: jax.Array,
     return jnp.where(active0 | (idx == 0), lcp, 0)
 
 
-# Auto-routing thresholds (lcp_from_sa(method="auto")): the keyed device
-# refine scans max_lcp/block rounds per surviving chunk, which is
-# O(sum-of-LCPs) — quadratic-class on repetitive corpora (mean LCP ~ n).
-# Route to the linear native Kasai when the survivor count (adjacent
-# pairs sharing all KEY_SYMS leading bytes) exceeds LCP_SURV_ROUTE_MAX
-# (more chunks than the refine amortizes), or when the bounded refine
-# exhausts LCP_MAX_OFF bytes without resolving every pair (huge-LCP
-# corpora that the count alone cannot predict). Both arms are pinned
-# bit-equal to Kasai by tests/test_lcp.py.
-LCP_SURV_ROUTE_MAX = 16384   # 8 chunks of 2048 survivors
-LCP_MAX_OFF = 8192           # ~64 refine rounds of 128 bytes
+# Auto-routing thresholds (lcp_from_sa(method="auto")). The chunked
+# keyed refine (_lcp_keyed) runs its survivor chunks as thousands of
+# small dependent device steps — measured 29.5 s for a 16 MiB text
+# corpus with 331k survivors (scripts/round4_study.py text16), i.e.
+# dispatch-depth-bound, not bandwidth-bound. Routing:
+#   survivors <= LCP_SURV_CHUNKED .. the chunked engine (few survivors:
+#                                    one chunk, minimal dispatches)
+#   survivors <= n/64 ............ the staged BULK engine (_lcp_bulk):
+#                                    geometric window ladder over the
+#                                    compacted survivors, ~8 dispatches
+#                                    (the sparse-repeat niche: genomic
+#                                    duplications, boilerplate-bearing
+#                                    corpora)
+#   else / budget exhausted ...... linear host Kasai
+# The n/64 split is measured, not aesthetic: TPU window gathers run at
+# ~0.9 GB/s effective (round4_study textlcp128 — 16-20x under HBM bw),
+# so survivor-dense corpora (text ~2-3.5% of n, repetition ~n) complete
+# faster on the host's linear Kasai than any windowed device refine;
+# at 128 MiB text the measured ladder-bulk is 54 s (19 s of it host
+# readback through the ~53 MB/s tunnel) vs 19.7 s Kasai. All arms are
+# pinned bit-equal to Kasai by tests/test_lcp.py.
+LCP_SURV_CHUNKED = 2048      # one refine chunk
+LCP_SURV_ROUTE_MAX = 16384   # legacy chunked budget (method="device")
+LCP_MAX_OFF = 8192           # chunked path: ~64 refine rounds of 128 B
+LCP_BULK_DEEP_W = 2048       # bulk deep-pass window bytes per round
+LCP_BULK_MAX_OFF = 1 << 16   # bulk budget: beyond 64 KiB LCPs -> Kasai
 
 
 @jax.jit
@@ -227,6 +242,218 @@ def _lcp_keyed(text: jax.Array, n_text: jax.Array, table: jax.Array,
     return jnp.where(valid | (idx == 0), lcp, 0), unresolved
 
 
+# ---------------------------------------------------------------------------
+# Staged BULK survivor refine — many survivors, few device dispatches.
+#
+# The chunked engine above walks survivors 2048 at a time with a
+# while_loop per chunk: thousands of small dependent device steps on
+# text-class corpora (measured 29.5 s at 16 MiB / 331k survivors —
+# latency-bound, round4_study text16). The bulk engine instead runs a
+# CONSTANT number of dispatches: one compaction sort, ONE 128-byte
+# window round over every survivor simultaneously (row-blocked fori for
+# occupancy), one prefix re-compaction + deep pass (2 KiB windows) over
+# the few unresolved lanes, and one un-permute — each step big enough to
+# be bandwidth- not dispatch-bound.
+# ---------------------------------------------------------------------------
+
+
+def _keyed_base(table: jax.Array, pk: tuple, n_table: jax.Array):
+    """Per-pair LCP over the first KEY_SYMS bytes from the packed keys
+    (the shared key phase of the chunked and bulk engines)."""
+    n_pad = table.shape[0]
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    valid = (idx > 0) & (idx < n_table)
+    lcp = jnp.zeros((n_pad,), jnp.int32)
+    undecided = valid
+    for word in pk:
+        prev = jnp.concatenate([word[:1], word[:-1]])
+        eq_word = word == prev
+        s_cur = [(word >> (18 - 9 * j)) & 0x1FF for j in range(3)]
+        s_prv = [(prev >> (18 - 9 * j)) & 0x1FF for j in range(3)]
+        within = jnp.where(
+            s_cur[0] != s_prv[0], 0, jnp.where(s_cur[1] != s_prv[1], 1, 2)
+        )
+        matched = jnp.where(eq_word, 3, within)
+        lcp = jnp.where(undecided, lcp + matched, lcp)
+        undecided = undecided & eq_word
+    return lcp, undecided, valid, idx
+
+
+@jax.jit
+def _lcp_base_compact(table: jax.Array, n_table: jax.Array, pk: tuple):
+    """Stage 0: keyed LCP + one full compaction sort. Survivor rows
+    (suffix, predecessor-suffix, partial lcp, active flag, original
+    rank) land in the array prefix; rows move as a unit so later stages
+    may re-permute freely — the finish step un-permutes by rank."""
+    lcp, undecided, _, idx = _keyed_base(table, pk, n_table)
+    prev_t = jnp.concatenate([table[:1], table[:-1]])
+    num_surv = jnp.sum(undecided.astype(jnp.int32))
+    not_surv = jnp.where(undecided, 0, 1).astype(jnp.int32)
+    flag = jnp.where(undecided, 1, 0).astype(jnp.int32)
+    _, p_a, p_prev, p_lcp, p_flag, perm = jax.lax.sort(
+        (not_surv, table, prev_t, lcp, flag, idx), num_keys=1,
+        is_stable=False)
+    return p_a, p_prev, p_lcp, p_flag, perm, num_surv
+
+
+@functools.partial(jax.jit, static_argnames=("s_pad", "w", "row_block",
+                                             "max_rounds"))
+def _bulk_refine_prefix(text, n_text, a, b, lcp, flag, s_pad: int, w: int,
+                        row_block: int, max_rounds: int):
+    """Extend the first ``s_pad`` lanes (flag==1 active) by w-byte
+    window compares, processed in ``row_block`` row blocks; each block
+    loops until its lanes resolve or ``max_rounds`` rounds pass. The
+    window base is the lane's current lcp (text[a+lcp+j] vs
+    text[b+lcp+j]). Returns updated full (lcp, flag) and the count of
+    still-active lanes in the prefix.
+
+    Windows are fetched as ALIGNED 128-lane text rows (w//128 + 1 rows
+    per lane, coalesced row DMA) and shifted in-row — measured ~2.5x
+    over per-element gathers in the chunked engine; element gathers
+    remain the fallback for unaligned pad sizes (tiny test corpora)."""
+    offs = jnp.arange(w, dtype=jnp.int32)
+    n_blocks = s_pad // row_block
+    n_pad_t = text.shape[0]
+    aligned = n_pad_t % 128 == 0 and n_pad_t >= 256
+    if aligned:
+        text2d = text.reshape(-1, 128)
+        last_row = n_pad_t // 128 - 1
+        k_rows = w // 128 + 1
+
+    def gat(base):
+        if aligned:
+            row0 = base // 128
+            shift = base % 128
+            rows = row0[:, None] + jnp.arange(k_rows, dtype=jnp.int32)
+            wide = jnp.take(text2d, jnp.minimum(rows, last_row), axis=0,
+                            mode="fill", fill_value=PAD)
+            wide = wide.reshape(base.shape[0], k_rows * 128)
+            cols = shift[:, None] + offs[None, :]
+            v = jnp.take_along_axis(wide, cols, axis=1)
+        else:
+            v = jnp.take(text, base[:, None] + offs[None, :], mode="fill",
+                         fill_value=PAD)
+        pos = base[:, None] + offs[None, :]
+        return jnp.where(pos < n_text, v, PAD)
+
+    def do_block(i, carry):
+        lcp, flag = carry
+        st = i * row_block
+        ba = jax.lax.dynamic_slice(a, (st,), (row_block,))
+        bb = jax.lax.dynamic_slice(b, (st,), (row_block,))
+        bl = jax.lax.dynamic_slice(lcp, (st,), (row_block,))
+        bf = jax.lax.dynamic_slice(flag, (st,), (row_block,))
+
+        def cond(s):
+            _, f, r = s
+            return jnp.any(f == 1) & (r < max_rounds)
+
+        def body(s):
+            l, f, r = s
+            act = f == 1
+            wa = gat(ba + l)
+            wb = gat(bb + l)
+            eq = wa == wb
+            run = jnp.cumprod(eq.astype(jnp.int32), axis=1).sum(axis=1)
+            l = jnp.where(act, l + run, l)
+            # l < n_text guards termination on contract-violating input
+            # (duplicate table entries never mismatch).
+            f = jnp.where(act & (run == w) & (l < n_text), 1, 0)
+            return l, f, r + 1
+
+        bl, bf, _ = jax.lax.while_loop(cond, body, (bl, bf, jnp.int32(0)))
+        return (jax.lax.dynamic_update_slice(lcp, bl, (st,)),
+                jax.lax.dynamic_update_slice(flag, bf, (st,)))
+
+    lcp, flag = jax.lax.fori_loop(0, n_blocks, do_block, (lcp, flag))
+    n_active = jnp.sum(jax.lax.dynamic_slice(flag, (0,), (s_pad,)))
+    return lcp, flag, n_active
+
+
+@functools.partial(jax.jit, static_argnames=("s_pad",))
+def _bulk_compact_prefix(a, b, lcp, flag, perm, s_pad: int):
+    """Re-sort the first s_pad rows active-first (rows move as a unit),
+    so the deep pass touches a dense prefix."""
+    sl = lambda x: jax.lax.dynamic_slice(x, (0,), (s_pad,))
+    na = 1 - sl(flag)
+    _, pa, pb, pl, pf, pp = jax.lax.sort(
+        (na, sl(a), sl(b), sl(lcp), sl(flag), sl(perm)), num_keys=1,
+        is_stable=False)
+    upd = lambda x, v: jax.lax.dynamic_update_slice(x, v, (0,))
+    return (upd(a, pa), upd(b, pb), upd(lcp, pl), upd(flag, pf),
+            upd(perm, pp))
+
+
+@jax.jit
+def _bulk_finish(lcp_perm, perm, n_table):
+    _, lcp = jax.lax.sort((perm, lcp_perm), num_keys=1, is_stable=False)
+    idx = jnp.arange(lcp.shape[0], dtype=jnp.int32)
+    valid = (idx > 0) & (idx < n_table)
+    return jnp.where(valid, lcp, 0)
+
+
+# Geometric window ladder for the bulk refine: each stage extends the
+# still-active lanes by one window of the given width, then the actives
+# re-compact before the next (wider) stage — total bytes fetched stay
+# within a small constant of sum(LCP) instead of max_width * lanes (a
+# fixed 2 KiB window measured 83 s at 128 MiB text where the ladder's
+# information floor is ~2 s). The last stage loops until the budget.
+LCP_BULK_LADDER = (128, 512, 2048)
+
+
+def _lcp_bulk(text_dev, n: int, tab_dev, pk: tuple,
+              block: int = 128, verbose: bool = False) -> np.ndarray | None:
+    """Bulk-refine driver (host-staged; ~8 device dispatches). Returns
+    the final uint32 LCP array, or None when lanes deeper than
+    LCP_BULK_MAX_OFF remain (caller falls back to linear Kasai)."""
+    import time as _time
+
+    from suffix_tpu.ops.padding import bucket_size
+
+    t0 = _time.perf_counter()
+    n_pad = int(tab_dev.shape[0])
+    p_a, p_prev, p_lcp, p_flag, perm, num_surv = _lcp_base_compact(
+        tab_dev, jnp.int32(n), tuple(pk))
+    n_act = int(num_surv)  # sync point
+    if verbose:
+        print(f"  [bulk] base+compact: {_time.perf_counter()-t0:.2f}s "
+              f"surv={n_act}", flush=True)
+    first = True
+    for stage_i, w in enumerate(LCP_BULK_LADDER):
+        if n_act == 0:
+            break
+        t0 = _time.perf_counter()
+        if not first:
+            # Re-compact the active lanes to a dense prefix (rows move
+            # as a unit; the finish sort un-permutes by rank anyway).
+            s_prev = min(bucket_size(prev_act, minimum=256), n_pad)
+            p_a, p_prev, p_lcp, p_flag, perm = _bulk_compact_prefix(
+                p_a, p_prev, p_lcp, p_flag, perm, s_prev)
+        s_pad = min(bucket_size(n_act, minimum=256), n_pad)
+        row_block = min(s_pad, max(256, (1 << 23) // w))
+        last = stage_i == len(LCP_BULK_LADDER) - 1
+        rounds = (max(1, LCP_BULK_MAX_OFF // w) if last else 1)
+        p_lcp, p_flag, n_left = _bulk_refine_prefix(
+            text_dev, jnp.int32(n), p_a, p_prev, p_lcp, p_flag,
+            s_pad, w, row_block, max_rounds=rounds)
+        prev_act = n_act
+        n_act = int(n_left)  # sync point
+        if verbose:
+            print(f"  [bulk] w={w} s_pad={s_pad} rounds<={rounds}: "
+                  f"{_time.perf_counter()-t0:.2f}s left={n_act}",
+                  flush=True)
+        first = False
+    if n_act > 0:
+        return None  # beyond the bulk budget: linear Kasai wins
+    t0 = _time.perf_counter()
+    out = _bulk_finish(p_lcp, perm, jnp.int32(n))
+    res = np.asarray(out)[:n].astype(np.uint32)
+    if verbose:
+        print(f"  [bulk] finish: {_time.perf_counter()-t0:.2f}s",
+              flush=True)
+    return res
+
+
 def _kasai_route(text_bytes: np.ndarray, sa: np.ndarray) -> np.ndarray:
     """Linear-time host route for the auto fallback (native, else numpy)."""
     from suffix_tpu import native
@@ -240,14 +467,14 @@ def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
                 pk: tuple | None = None, method: str = "auto") -> np.ndarray:
     """Host wrapper: LCP array (uint32) from text bytes and its SA.
 
-    ``method="auto"`` (default) bounds the device wall time on
-    repetitive corpora: if the survivor count exceeds
-    ``LCP_SURV_ROUTE_MAX``, or the round-budgeted refine exhausts
-    ``LCP_MAX_OFF`` bytes with lanes still unresolved, the computation
-    routes to the linear host Kasai (the reference's own linear variant
-    is *disabled*, src/table.rs:314-346 — this engine keeps the device
-    fast path AND a bounded worst case). ``method="device"`` forces the
-    unbounded keyed refine (O(sum-of-LCPs) on pathological corpora).
+    ``method="auto"`` (default) routes by survivor census so wall time
+    is bounded on every corpus class: few survivors -> the chunked
+    refine; many (<= n/4) -> the staged bulk engine (constant dispatch
+    count); degenerate repetition or beyond-budget LCP depth -> the
+    linear host Kasai (the reference's own linear variant is
+    *disabled*, src/table.rs:314-346 — this engine keeps a device fast
+    path AND a bounded worst case). ``method="device"`` forces the
+    unbounded chunked refine (O(sum-of-LCPs) on pathological corpora).
     """
     from suffix_tpu.ops.padding import bucket_size
 
@@ -271,12 +498,21 @@ def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
                                                 stride=1)
     if method == "auto":
         n_surv = int(_survivor_count(tuple(pk), jnp.int32(n)))
-        if n_surv > LCP_SURV_ROUTE_MAX:
-            return _kasai_route(t_np, sa)
-        out, unresolved = _lcp_keyed(t_dev, jnp.int32(n), tab_dev,
-                                     jnp.int32(n), tuple(pk), block=block,
-                                     max_off=LCP_MAX_OFF)
-        if int(unresolved) > 0:
+        if n_surv <= LCP_SURV_CHUNKED:
+            out, unresolved = _lcp_keyed(t_dev, jnp.int32(n), tab_dev,
+                                         jnp.int32(n), tuple(pk),
+                                         block=block, max_off=LCP_MAX_OFF)
+            if int(unresolved) > 0:
+                return _kasai_route(t_np, sa)
+        elif n_surv <= n // 64:
+            res = _lcp_bulk(t_dev, n, tab_dev, tuple(pk), block=block)
+            if res is None:
+                return _kasai_route(t_np, sa)
+            return res
+        else:
+            # Survivor-dense corpus (text-class or repetition): the
+            # linear host Kasai measured faster than any windowed
+            # device refine (see routing notes above).
             return _kasai_route(t_np, sa)
     else:
         out, _ = _lcp_keyed(t_dev, jnp.int32(n), tab_dev, jnp.int32(n),

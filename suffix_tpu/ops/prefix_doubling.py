@@ -259,6 +259,38 @@ ADAPTIVE_PACK_MIN = 1 << 17
 # misses (a miss is correct anyway — rounds continue from h0).
 ADAPTIVE_SLACK_CHARS = 12
 ADAPTIVE_MAX_WORDS = 6
+# Repetitive corpora (a detected long repeat) can never be cleared by
+# the one-shot sort; there the word count is chosen to minimize the
+# quadrupling ROUND count instead, and wider initial sorts keep paying
+# (each saved round is a 5-operand global sort + invert). Cap at 8
+# operands: beyond that the initial sort's own cost crosses a round's.
+ADAPTIVE_MAX_WORDS_REPEAT = 8
+# The periodicity probe searches the first PROBE_WINDOW bytes for a
+# recurrence of the corpus' leading PROBE_LEN bytes — one C-speed
+# bytes.find, ~ms — catching tiled/repeated corpora with periods up to
+# the window. Larger periods would save <1 of >= 10 rounds.
+PROBE_LEN = 64
+PROBE_WINDOW = 8 << 20
+
+
+def _repeat_lcp_lower_bound(arr: np.ndarray) -> int | None:
+    """Lower bound on the corpus' max LCP from self-repetition, or None.
+
+    If the leading PROBE_LEN bytes recur at offset p, suffixes 0 and p
+    share an LCP equal to the length of the common prefix of arr[p:]
+    and arr — for tiled corpora (period p) that is n - p, the true max.
+    One substring search + one vectorized compare; no false positives
+    possible (the bound is exact for the probed pair)."""
+    n = int(arr.size)
+    if n < 4 * PROBE_LEN:
+        return None
+    window = arr[:min(n, PROBE_WINDOW)].tobytes()
+    p = window.find(window[:PROBE_LEN], 1)
+    if p == -1:
+        return None
+    eq = arr[p:] == arr[:n - p]
+    lcp = int(np.argmin(eq)) if not eq.all() else n - p
+    return lcp
 
 
 def _adaptive_plan(arr: np.ndarray, n_pad: int):
@@ -279,6 +311,26 @@ def _adaptive_plan(arr: np.ndarray, n_pad: int):
         # High-entropy alphabet or long expected LCPs: the coded words
         # would not cover the LCP anyway; the byte ladder's cheaper
         # shapes win.
+        n_words = None
+    # Repetitive-corpus lever: a detected long repeat overrides the
+    # random-text estimate. The one-shot sort cannot clear max LCP ~ n,
+    # so pick the width that minimizes quadrupling rounds (h0 * 4^r
+    # must reach the repeat length) — h0 = 80 instead of 40 on the
+    # 4 MiB repeated fixture drops 9 rounds to 8.
+    lcp_lb = _repeat_lcp_lower_bound(arr)
+    if lcp_lb is not None and lcp_lb > cpw * ADAPTIVE_MAX_WORDS:
+
+        def rounds(h0: int) -> int:
+            r, h = 0, h0
+            while h <= lcp_lb:
+                h *= 4
+                r += 1
+            return r
+
+        best = min(range(1, ADAPTIVE_MAX_WORDS_REPEAT + 1),
+                   key=lambda w: (rounds(cpw * w), w))
+        n_words = best
+    if n_words is None:
         return None
     if cpw * n_words <= 3 * pick_init_words(n_pad):
         return None  # no more characters than the ladder already sorts

@@ -446,17 +446,37 @@ def suffix_array_sharded(data: bytes | np.ndarray | str,
     jax_enable_x64 — the scale-out configuration that most needs the wide
     index), or "auto".
     """
-    from suffix_tpu.utils.io import device_corpus, open_corpus
-
-    if isinstance(data, str):
-        arr = open_corpus(data)
-    elif isinstance(data, (bytes, bytearray)):
-        arr = np.frombuffer(bytes(data), dtype=np.uint8)
-    else:
-        arr = np.asarray(data, dtype=np.uint8)
+    arr = _as_u8(data)
     n = int(arr.shape[0])
     if n == 0:
         return np.empty((0,), dtype=np.uint32)
+    sa_full, n_total, _, out_dtype = suffix_array_sharded_device(
+        arr, mesh, index_dtype)
+    return np.asarray(sa_full)[n_total - n:].astype(out_dtype)
+
+
+def _as_u8(data) -> np.ndarray:
+    from suffix_tpu.utils.io import open_corpus
+
+    if isinstance(data, str):
+        return open_corpus(data)
+    if isinstance(data, (bytes, bytearray)):
+        return np.frombuffer(bytes(data), dtype=np.uint8)
+    return np.asarray(data, dtype=np.uint8)
+
+
+def suffix_array_sharded_device(data, mesh: Mesh, index_dtype: str = "u32"):
+    """Device-RESIDENT sharded build: (sa_sharded, n_total, n_local,
+    out_dtype). ``sa_sharded`` stays sequence-sharded over the mesh with
+    the padding suffixes in the first ``n_total - n`` rank slots — the
+    host never materializes the table (the serving layer consumes the
+    shards directly, dist_query.ShardedQueryIndex). The corpus is
+    streamed through ``device_corpus`` one shard at a time, including
+    the alphabet-adaptive coded route (lut applied per shard)."""
+    arr = _as_u8(data)
+    n = int(arr.shape[0])
+    from suffix_tpu.utils.io import device_corpus
+
     n_dev = _check_pow2(mesh)
     n_local = _local_bucket(n, n_dev)
     n_total = n_local * n_dev
@@ -464,17 +484,15 @@ def suffix_array_sharded(data: bytes | np.ndarray | str,
     plan_full = _sharded_adaptive_plan(arr, n_total, n_local)
     if plan_full is not None:
         lut, plan = plan_full
-        codes = np.zeros((n_total,), np.int32)
-        codes[:n] = lut[arr]
-        sharded = jax.device_put(codes, NamedSharding(mesh, P(AXIS)))
-        sa_full = np.asarray(
-            _dist_build_jit(sharded, n_local, n_dev, mesh,
-                            index_dtype=dtype, plan=plan))
-        return sa_full[n_total - n:].astype(out_dtype)
-    sharded, _ = device_corpus(arr, mesh, n_pad=n_total)
-    sa_full = np.asarray(
-        _dist_build_jit(sharded, n_local, n_dev, mesh, index_dtype=dtype))
-    return sa_full[n_total - n:].astype(out_dtype)
+        sharded, _ = device_corpus(arr, mesh, n_pad=n_total, lut=lut,
+                                   fill=0)
+        sa_full = _dist_build_jit(sharded, n_local, n_dev, mesh,
+                                  index_dtype=dtype, plan=plan)
+    else:
+        sharded, _ = device_corpus(arr, mesh, n_pad=n_total)
+        sa_full = _dist_build_jit(sharded, n_local, n_dev, mesh,
+                                  index_dtype=dtype)
+    return sa_full, n_total, n_local, out_dtype
 
 
 def _sharded_adaptive_plan(arr: np.ndarray, n_total: int, n_local: int):

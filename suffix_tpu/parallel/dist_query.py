@@ -365,33 +365,49 @@ class ShardedQueryIndex:
     HBM is ~32/D bytes/char versus ~32 on one chip — the index scales
     with total mesh HBM (pinned by test_dist_query.py's per-device
     byte accounting).
+
+    Per-HOST memory is O(n/D) as well: ingestion streams shard by shard
+    (utils/io.device_corpus), a ``sa=None`` build stays device-resident
+    end to end (dist_build.suffix_array_sharded_device + a collective
+    rank realignment — no host table ever exists), and ``positions``
+    gathers its SA slice from the rank shards with an ownership+psum
+    collect instead of slicing a host copy. Pass ``host_sa=True`` (or a
+    precomputed ``sa``) to keep a host-side table for zero-collective
+    slicing; ``host_sa=False`` drops it even then.
     """
 
-    def __init__(self, data: bytes | np.ndarray, mesh: Mesh,
-                 sa: np.ndarray | None = None):
-        arr = (np.frombuffer(bytes(data), dtype=np.uint8)
-               if isinstance(data, (bytes, bytearray))
-               else np.asarray(data, dtype=np.uint8))
+    def __init__(self, data, mesh: Mesh, sa: np.ndarray | None = None,
+                 host_sa: bool | None = None):
+        from suffix_tpu.parallel import dist_build
+        from suffix_tpu.utils.io import device_corpus, device_table
+
+        arr = dist_build._as_u8(data)
         self.mesh = mesh
         self.n = int(arr.shape[0])
-        self.n_dev = mesh.devices.size
-        if sa is None:
-            from suffix_tpu.parallel.dist_build import suffix_array_sharded
-            sa = suffix_array_sharded(arr, mesh)
-        self._sa_host = np.asarray(sa, dtype=np.uint32)
-
-        n_pad = max(bucket_size(max(self.n, 1)), 8 * self.n_dev)
-        n_pad = -(-n_pad // self.n_dev) * self.n_dev
+        self.n_dev = dist_build._check_pow2(mesh)
+        self.n_local = max(dist_build._local_bucket(self.n, self.n_dev),
+                           8)
+        n_pad = self.n_local * self.n_dev
         self.n_pad = n_pad
-        self.n_local = n_pad // self.n_dev
-        padded_text = np.full((n_pad,), PAD, np.int32)
-        padded_text[:self.n] = arr
-        padded_tab = np.zeros((n_pad,), np.int32)
-        padded_tab[:self.n] = self._sa_host
 
-        shard = NamedSharding(mesh, P(AXIS))
-        self._text = jax.device_put(padded_text, shard)
-        self._table = jax.device_put(padded_tab, shard)
+        self._text, _ = device_corpus(arr, mesh, n_pad=n_pad)
+        if sa is None:
+            # Device-resident build + in-place rank realignment: the
+            # build's output carries the padding suffixes in the first
+            # n_pad - n rank slots; one ring collect shifts them out and
+            # zero-fills the tail — never touching the host.
+            sa_full, n_total, n_local_b, _ = \
+                dist_build.suffix_array_sharded_device(arr, mesh)
+            assert (n_total, n_local_b) == (n_pad, self.n_local)
+            self._table = _align_jit(sa_full.astype(jnp.int32),
+                                     jnp.int32(self.n), self.n_local,
+                                     self.n_dev, mesh)
+            self._sa_host = (np.asarray(self._table)[:self.n]
+                             .astype(np.uint32) if host_sa else None)
+        else:
+            self._sa_host = (np.asarray(sa, dtype=np.uint32)
+                             if host_sa is not False else None)
+            self._table = device_table(np.asarray(sa), n_pad, mesh)
         self._pk_fence, self._pk_block = _keys_jit(
             self._text, self._table, jnp.int32(self.n),
             self.n_local, self.n_dev, mesh)
@@ -437,6 +453,14 @@ class ShardedQueryIndex:
             out[i, :len(q)] = q
         return out, np.array([len(q) for q in qb], np.int32)
 
+    def table(self) -> np.ndarray:
+        """Host copy of the suffix table (uint32). Materializes O(n) on
+        THIS host — only whole-index consumers (tree folds, into_parts)
+        need it; the serving paths never call this."""
+        if self._sa_host is None:
+            return np.asarray(self._table)[:self.n].astype(np.uint32)
+        return self._sa_host
+
     def lcp_lens(self) -> np.ndarray:
         """LCP array (uint32), computed across the mesh.
 
@@ -449,10 +473,41 @@ class ShardedQueryIndex:
                        self.n_dev, len(self._pk_fence), self.mesh)
         return np.asarray(out)[:self.n].astype(np.uint32)
 
+    # Collective-slice shaping: ranks pad to power-of-two (rows, cap)
+    # buckets so the gather executable is reused across batches, and a
+    # chunk ceiling bounds the replicated result buffer per dispatch.
+    MAX_SLICE_ELEMS = 1 << 22
+
+    def _gather_slices(self, start: np.ndarray,
+                       count: np.ndarray) -> list[np.ndarray]:
+        """SA slices [start, start+count) per query, from the rank
+        shards (ownership + psum) — the O(n/D)-per-host serving path."""
+        q_n = len(start)
+        cap = bucket_size(max(int(count.max(initial=0)), 1), minimum=8)
+        rows_per = max(1, self.MAX_SLICE_ELEMS // cap)
+        out: list[np.ndarray] = []
+        for i in range(0, q_n, rows_per):
+            s_blk = start[i:i + rows_per]
+            c_blk = count[i:i + rows_per]
+            rows = bucket_size(len(s_blk), minimum=1)
+            ranks = np.zeros((rows, cap), np.int32)
+            offs = np.arange(cap, dtype=np.int64)
+            ranks[:len(s_blk)] = np.where(
+                offs[None, :] < c_blk[:, None].astype(np.int64),
+                s_blk[:, None] + offs[None, :], 0).astype(np.int32)
+            vals = np.asarray(_take_ranks_jit(
+                self._table, jnp.asarray(ranks), self.n_local, self.n_dev,
+                self.mesh))
+            out.extend(vals[j, :c].astype(np.uint32)
+                       for j, c in enumerate(c_blk))
+        return out
+
     def positions_batch(self, queries) -> list[np.ndarray]:
         q, ql = self._encode(queries)
         start, count = self.bounds_batch(q, ql)
-        return [self._sa_host[s:s + c] for s, c in zip(start, count)]
+        if self._sa_host is not None:
+            return [self._sa_host[s:s + c] for s, c in zip(start, count)]
+        return self._gather_slices(start, count)
 
     def positions(self, query) -> np.ndarray:
         return self.positions_batch([query])[0]
@@ -475,11 +530,59 @@ class ShardedQueryIndex:
         """
         q, ql = self._encode(queries)
         start, count = self.bounds_batch(q, ql)
-        return [int(self._sa_host[s]) if c else None
-                for s, c in zip(start, count)]
+        if self._sa_host is not None:
+            return [int(self._sa_host[s]) if c else None
+                    for s, c in zip(start, count)]
+        rows = bucket_size(len(start), minimum=8)
+        ranks = np.zeros((rows,), np.int32)
+        ranks[:len(start)] = start
+        vals = np.asarray(_take_ranks_jit(
+            self._table, jnp.asarray(ranks), self.n_local, self.n_dev,
+            self.mesh))
+        return [int(vals[j]) if c else None for j, c in enumerate(count)]
 
     def any_position(self, query):
         return self.any_position_batch([query])[0]
+
+
+def _align_shard(sa_full, n, n_local: int, n_dev: int):
+    """Shift the build's sorted layout (padding ranks first) left by
+    n_pad - n and zero-fill the tail, per device (under shard_map):
+    out[rank r] = sa_full[r + (n_pad - n)] for r < n. The source
+    positions differ per device, so a ring collect resolves them."""
+    me = jax.lax.axis_index(AXIS)
+    n_pad = n_local * n_dev
+    grank = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
+    src = grank + (n_pad - n)
+    v = _collect_by_position(sa_full, jnp.where(src < n_pad, src, 0),
+                             n_local, n_dev)
+    return jnp.where(grank < n, v, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))
+def _align_jit(sa_full, n, n_local: int, n_dev: int, mesh: Mesh):
+    fn = functools.partial(_align_shard, n_local=n_local, n_dev=n_dev)
+    return jax.shard_map(fn, mesh=mesh, in_specs=(P(AXIS), P()),
+                         out_specs=P(AXIS), check_vma=False)(sa_full, n)
+
+
+def _take_ranks_shard(table_local, ranks, n_local: int, n_dev: int):
+    """table[ranks] for REPLICATED rank arrays (any shape): the owner of
+    each rank contributes, one psum broadcasts — the collective slice
+    that replaces host-side ``sa[start:start+count]``."""
+    me = jax.lax.axis_index(AXIS)
+    base = me * n_local
+    local = (ranks >= base) & (ranks < base + n_local)
+    li = jnp.clip(ranks - base, 0, n_local - 1)
+    v = jnp.where(local, jnp.take(table_local, li), 0)
+    return jax.lax.psum(v, AXIS)
+
+
+@functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))
+def _take_ranks_jit(table, ranks, n_local: int, n_dev: int, mesh: Mesh):
+    fn = functools.partial(_take_ranks_shard, n_local=n_local, n_dev=n_dev)
+    return jax.shard_map(fn, mesh=mesh, in_specs=(P(AXIS), P()),
+                         out_specs=P(), check_vma=False)(table, ranks)
 
 
 @functools.partial(jax.jit, static_argnames=("n_local", "n_dev", "mesh"))

@@ -108,7 +108,7 @@ class SuffixTree:
         import numpy as np
 
         text = np.asarray(idx._text)[:idx.n].astype(np.uint8).tobytes()
-        st = SuffixTable.from_parts(text, idx._sa_host)
+        st = SuffixTable.from_parts(text, idx.table())
         st._lcp_override = idx.lcp_lens()
         return _to_suffix_tree(st)
 

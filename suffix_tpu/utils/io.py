@@ -23,12 +23,18 @@ def open_corpus(path: str) -> np.ndarray:
     return np.memmap(path, dtype=np.uint8, mode="r")
 
 
-def device_corpus(path_or_bytes, mesh=None, n_pad: int | None = None):
+def device_corpus(path_or_bytes, mesh=None, n_pad: int | None = None,
+                  lut: np.ndarray | None = None, fill: int = PAD):
     """PAD-padded int32 corpus on device, streamed from disk.
 
     With ``mesh``, the result is sequence-sharded over the mesh's first
     axis (the layout the sharded build consumes); otherwise it lives on
     the default device. Returns (array, n) with n the true byte length.
+
+    ``lut`` recodes each byte through a 256-entry table on the fly (the
+    alphabet-adaptive dense coding) and ``fill`` sets the padding value
+    (0 for coded corpora — the code-space sentinel) — still one shard of
+    host memory at a time, never a full int32 staging copy.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -56,11 +62,35 @@ def device_corpus(path_or_bytes, mesh=None, n_pad: int | None = None):
         sl = index[0]
         lo = 0 if sl.start is None else sl.start
         hi = n_pad if sl.stop is None else sl.stop
-        out = np.full((hi - lo,), PAD, dtype=np.int32)
+        out = np.full((hi - lo,), fill, dtype=np.int32)
         take = min(hi, n) - lo
         if take > 0:
-            out[:take] = raw[lo:lo + take]
+            seg = raw[lo:lo + take]
+            out[:take] = lut[seg] if lut is not None else seg
         return out
 
     arr = jax.make_array_from_callback((n_pad,), sharding, _block)
     return arr, n
+
+
+def device_table(sa: np.ndarray, n_pad: int, mesh) -> "object":
+    """Zero-padded int32 suffix table on device, sequence-sharded —
+    staged one shard at a time (no full host int32 copy)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from suffix_tpu.parallel.mesh import AXIS
+
+    n = int(sa.shape[0])
+
+    def _block(index) -> np.ndarray:
+        sl = index[0]
+        lo = 0 if sl.start is None else sl.start
+        hi = n_pad if sl.stop is None else sl.stop
+        out = np.zeros((hi - lo,), dtype=np.int32)
+        take = min(hi, n) - lo
+        if take > 0:
+            out[:take] = sa[lo:lo + take]
+        return out
+
+    return jax.make_array_from_callback(
+        (n_pad,), NamedSharding(mesh, P(AXIS)), _block)

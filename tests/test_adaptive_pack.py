@@ -63,6 +63,45 @@ def test_adaptive_plan_declines_high_entropy(rng):
     assert pd._adaptive_plan(arr, 1 << 26) is None
 
 
+def test_repeat_lcp_lower_bound(rng):
+    # Tiled corpus: the probe finds the period and the bound is exact.
+    block = rng.integers(0, 4, 1000, dtype=np.uint8) + 97
+    arr = np.tile(block, 50)
+    assert pd._repeat_lcp_lower_bound(arr) == arr.size - 1000
+    # Random corpus: no 64-byte self-repeat, no bound.
+    assert pd._repeat_lcp_lower_bound(
+        rng.integers(0, 256, 65536, dtype=np.uint8)) is None
+
+
+def test_repeat_lever_widens_initial_words(rng):
+    """The 4 MiB repeated fixture class (100 KB block tiled): the plan
+    must pick the round-minimizing width (h0*4^r > maxLCP with minimal
+    r), wider than the random-text estimate — and stay bit-correct."""
+    block = rng.integers(0, 4, 100_001, dtype=np.uint8) + 97
+    arr = np.tile(block, 42)[:1 << 22]
+    plan = pd._adaptive_plan(arr, 1 << 22)
+    assert plan is not None
+    _, bits, cpw, n_words = plan
+    assert bits == 3 and cpw == 10
+    max_lcp = arr.size - 100_001
+
+    def rounds(h0):
+        r, h = 0, h0
+        while h <= max_lcp:
+            h, r = h * 4, r + 1
+        return r
+
+    # 7 words (h0=70) reaches 4.09M in 8 rounds; 4 words needs 9.
+    assert rounds(cpw * n_words) < rounds(40)
+    assert n_words == min(
+        range(1, pd.ADAPTIVE_MAX_WORDS_REPEAT + 1),
+        key=lambda w: (rounds(cpw * w), w))
+    # Bit-parity on a small tiled corpus through the public entry.
+    small = np.tile(block[:997], 20)
+    got = pd.suffix_array_bytes(small)
+    assert np.array_equal(got, naive_table(small.tobytes()))
+
+
 def test_adaptive_u64(small_gate, rng):
     import jax
 

@@ -64,12 +64,12 @@ def test_dna_lcp(dna_10k):
 
 
 def test_auto_routes_repetitive_to_kasai(monkeypatch):
-    """A repetitive corpus (survivor mass ~ n, mean LCP ~ n) must route
-    to the linear Kasai: the unbounded device refine is O(sum-of-LCPs)
-    there (VERDICT r3). Bit-equality is part of the contract."""
+    """A degenerate repetitive corpus (survivor mass > n/4, mean LCP
+    ~ n) must route to the linear Kasai: any windowed device refine is
+    O(sum-of-LCPs) there (VERDICT r3). Bit-equality is the contract."""
     from suffix_tpu.ops import lcp as lcp_ops
 
-    text = b"abracadabra-zyx!" * 512  # period 16, max LCP ~ 8k
+    text = b"abracadabra-zyx!" * 512  # period 16, survivors ~ n
     st_ = SuffixTable.new(text)
     kasai_calls = []
     orig = lcp_ops._kasai_route
@@ -79,7 +79,6 @@ def test_auto_routes_repetitive_to_kasai(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(lcp_ops, "_kasai_route", spy)
-    monkeypatch.setattr(lcp_ops, "LCP_SURV_ROUTE_MAX", 256)
     got = st_.lcp_lens()  # default method="auto"
     assert kasai_calls, "auto did not route the repetitive corpus"
     expected = kasai_host(np.frombuffer(text, np.uint8), st_.table())
@@ -95,10 +94,10 @@ def test_auto_round_budget_fallback(monkeypatch):
     from suffix_tpu.ops import lcp as lcp_ops
 
     rng = np.random.default_rng(7)
-    blk = rng.integers(0, 4, size=2048, dtype=np.uint8) + 97
+    blk = rng.integers(0, 4, size=1024, dtype=np.uint8) + 97
     filler = rng.integers(0, 26, size=8192, dtype=np.uint8) + 65
     text = (bytes(filler[:4096]) + bytes(blk) + bytes(filler[4096:])
-            + bytes(blk))  # two copies of blk: ~2k survivors, LCP up to 2k
+            + bytes(blk))  # two copies of blk: ~1k survivors, LCP up to 1k
     st_ = SuffixTable.new(text)
     kasai_calls = []
     orig = lcp_ops._kasai_route
@@ -120,3 +119,77 @@ def test_auto_round_budget_fallback(monkeypatch):
     got2 = st_.lcp_lens()
     assert not kasai_calls
     assert np.array_equal(expected, got2)
+
+
+def test_bulk_engine_sparse_repeats(monkeypatch):
+    """Sparse-repeat corpora (survivors in (2048, n/64] — genomic
+    duplications, boilerplate-bearing data) must take the staged BULK
+    engine and stay bit-equal to Kasai. Survivor-dense text routes to
+    Kasai instead (measured faster, ops/lcp.py routing notes)."""
+    from suffix_tpu.ops import lcp as lcp_ops
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 4, size=1 << 19, dtype=np.uint8) + 97
+    # Plant doubled 24-byte blocks (each yields ~6 surviving pairs: the
+    # close copy creates overlapping matches) and one deep 600-byte
+    # repeat: survivors land between LCP_SURV_CHUNKED and n/64 = 8192.
+    for i in range(800):
+        src = int(rng.integers(0, (1 << 19) - 2048))
+        dst = src + 24 + int(rng.integers(0, 64))
+        base[dst:dst + 24] = base[src:src + 24]
+    deep_src = int(rng.integers(0, (1 << 19) - 4096))
+    base[deep_src + 700:deep_src + 1300] = base[deep_src:deep_src + 600]
+    arr = base
+    st_ = SuffixTable.new(bytes(arr))
+    bulk_calls, kasai_calls = [], []
+    orig_bulk = lcp_ops._lcp_bulk
+    orig_kasai = lcp_ops._kasai_route
+
+    def spy_bulk(*a, **k):
+        bulk_calls.append(True)
+        return orig_bulk(*a, **k)
+
+    def spy_kasai(*a, **k):
+        kasai_calls.append(True)
+        return orig_kasai(*a, **k)
+
+    monkeypatch.setattr(lcp_ops, "_lcp_bulk", spy_bulk)
+    monkeypatch.setattr(lcp_ops, "_kasai_route", spy_kasai)
+    got = st_.lcp_lens()
+    assert bulk_calls and not kasai_calls, (len(bulk_calls),
+                                            len(kasai_calls))
+    expected = kasai_host(arr, st_.table())
+    assert np.array_equal(expected, got)
+
+    # Bulk budget exhausted (deep lanes beyond LCP_BULK_MAX_OFF): the
+    # driver returns None and auto falls back to Kasai — still equal.
+    monkeypatch.setattr(lcp_ops, "LCP_BULK_LADDER", (128,))
+    monkeypatch.setattr(lcp_ops, "LCP_BULK_MAX_OFF", 256)
+    kasai_calls.clear()
+    got2 = st_.lcp_lens()
+    assert kasai_calls, "bulk budget exhaustion did not fall back"
+    assert np.array_equal(expected, got2)
+
+
+def test_bulk_engine_stagea_only(monkeypatch):
+    """Many shallow survivors, none deep: stage A alone must resolve
+    (no compaction/deep pass) — pinned by forcing the bulk route with a
+    tiny chunked threshold."""
+    from suffix_tpu.ops import lcp as lcp_ops
+
+    rng = np.random.default_rng(11)
+    # 60 doubled 24-byte blocks with unique random fillers between:
+    # every survivor pair shares ~24 bytes — all resolved by one
+    # 128-byte window round, no deep lanes.
+    pieces = []
+    for _ in range(60):
+        b = bytes(rng.integers(0, 4, size=24, dtype=np.uint8) + 97)
+        f1 = bytes(rng.integers(0, 26, size=32, dtype=np.uint8) + 65)
+        f2 = bytes(rng.integers(0, 26, size=32, dtype=np.uint8) + 65)
+        pieces += [b, f1, b, f2]
+    text = b"".join(pieces)
+    st_ = SuffixTable.new(text)
+    monkeypatch.setattr(lcp_ops, "LCP_SURV_CHUNKED", 4)
+    got = st_.lcp_lens()
+    expected = kasai_host(np.frombuffer(text, np.uint8), st_.table())
+    assert np.array_equal(expected, got)
