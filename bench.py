@@ -112,27 +112,31 @@ def main() -> None:
         _median_time(lambda: sync(build_4m())), 4)
 
     # --- same-machine CPU baseline (north-star ratio) --------------------
-    # BASELINE.md's 13.3 MB/s is the reference's unknown machine; the
-    # honest "10x over single-core CPU SA-IS at 1 chip" comparison is our
-    # own linear-time C++ SA-IS (suffix_tpu/native) on THIS host's CPU.
-    # Medians of repeated runs: the round-1/2 single-shot numbers swung
-    # 1.8x between rounds from box contention (VERDICT r2 #2).
-    def _native_median(data: bytes, iters: int) -> float:
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            native.sais(data)
-            times.append(time.perf_counter() - t0)
-        return len(data) / float(np.median(times)) / 1e6
+    # ONE pinned source: CPU_BASELINE.json (idle-box medians measured by
+    # scripts/pin_cpu_baselines.py). Round 3 quoted live same-run CPU
+    # numbers that swung 40% with box contention (9.19 vs 12.7 MB/s on
+    # the repeated class, VERDICT r3 weak #6); every document and every
+    # ratio now quotes the pinned medians.
+    import json as _json
 
     try:
-        from suffix_tpu import native
+        _pinned = _json.load(open(
+            pathlib.Path(__file__).parent / "CPU_BASELINE.json"))["classes"]
+        detail["cpu_baseline_source"] = "CPU_BASELINE.json (pinned medians)"
 
-        native.sais(b"warm" * 64)
-        cpu_mbps = _native_median(corpus.astype(np.uint8).tobytes(), 5)
+        def pinned_cpu(cls: str) -> float:
+            return float(_pinned[cls]["median_MBps"])
+    except Exception as e:
+        detail["cpu_baseline_source"] = f"unavailable: {e}"
+
+        def pinned_cpu(cls: str) -> float:
+            raise KeyError(cls)
+
+    try:
+        cpu_mbps = pinned_cpu("sais_4MiB_dna")
         detail["native_cpu_sais_MBps"] = round(cpu_mbps, 2)
         detail["vs_native_cpu_sais"] = round(mbps / cpu_mbps, 1)
-    except Exception as e:  # native lib not built on this host
+    except Exception as e:
         detail["native_cpu_sais_MBps"] = f"unavailable: {e}"
 
     # --- 100 KB fixture (direct comparison point) ------------------------
@@ -169,7 +173,7 @@ def main() -> None:
     # reduction collapses repeats) while doubling pays max-LCP rounds —
     # report the honest per-class ratio, not just the random-corpus one.
     try:
-        cpu_rep = _native_median(rep_u8.tobytes(), 5)
+        cpu_rep = pinned_cpu("sais_4MiB_repeated")
         detail["native_cpu_repeated_MBps"] = round(cpu_rep, 2)
         detail["repeated_vs_native_cpu"] = round(rep_mbps / cpu_rep, 2)
     except Exception as e:
@@ -264,7 +268,7 @@ def main() -> None:
         big_mbps = n_big / dt_big / 1e6
         detail["construct_64MiB_MBps"] = round(big_mbps, 1)
         try:
-            cpu_big = _native_median(big.astype(np.uint8).tobytes(), 3)
+            cpu_big = pinned_cpu("sais_64MiB_dna")
             detail["native_cpu_64MiB_MBps"] = round(cpu_big, 2)
             detail["vs_native_cpu_64MiB"] = round(big_mbps / cpu_big, 1)
         except Exception as e:
@@ -344,7 +348,7 @@ def main() -> None:
         txt_mbps = n_txt / dt_txt / 1e6
         detail["construct_128MiB_text_MBps"] = round(txt_mbps, 1)
         try:
-            cpu_txt = _native_median(txt.tobytes(), 1)
+            cpu_txt = pinned_cpu("sais_128MiB_text")
             detail["native_cpu_128MiB_text_MBps"] = round(cpu_txt, 2)
             detail["vs_native_cpu_128MiB_text"] = round(txt_mbps / cpu_txt, 1)
         except Exception as e:

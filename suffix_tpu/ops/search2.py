@@ -317,17 +317,25 @@ def _fence_stride(n_pad: int) -> int:
     fences otherwise — the fence sort is far cheaper than re-sorting the
     whole key array and the block fetch is one coalesced row-gather.
 
-    Measured ladder (v5e, 256k 14-byte queries, scripts/stride_study.py):
-    stride 8 best at <= 4 MiB (10.2M q/s; 16/64 within 20%), stride 64
-    best at >= 16 MiB (16 MiB: 3.4 -> 7.6M q/s over stride 16; 64 MiB:
-    1.7 -> 5.3M q/s over stride 8 — the fence sort scales with n/stride
-    and dominates large indexes). Stride 32 is reproducibly pathological
-    at every size (68 ms at 4 MiB vs 31 ms for both neighbors) — avoid."""
+    Measured ladder (v5e, 256k 14-byte queries, re-measured r4 with
+    per-half attribution — scripts/round4_study.py stride32):
+    4 MiB:  s8 20.9 ms, s16 17.4 (best, 15.0M q/s), s32 19.6, s64 —
+    64 MiB: s16 72.4 ms, s32 47.5, s64 32.5, s128 29.7 (best, 8.8M q/s).
+    The fence sort scales with n/stride (60->13 ms across the 64 MiB
+    ladder) while the block row-count stays ~flat (10-14 ms), so larger
+    indexes want larger strides. The round-3 claim that stride 32 was
+    "reproducibly pathological" (68 ms at 4 MiB) does NOT reproduce
+    after re-measurement with split timings — 32 sits exactly on the
+    interpolation curve at both sizes; the old number is attributed to
+    an unsplit measurement artifact and the policy no longer avoids it.
+    2^24 is the unmeasured midpoint: interpolated stride 64."""
     if n_pad <= (1 << 12):
         return 1
     if n_pad <= (1 << 22):
-        return 8
-    return 64
+        return 16
+    if n_pad <= (1 << 24):
+        return 64
+    return 128
 
 
 def _refine_one(text, n_text, table, query, qlen, start, end):
