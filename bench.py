@@ -69,26 +69,15 @@ def main() -> None:
     detail = {"device": str(jax.devices()[0])}
 
     def device_build_fn(arr_u8: np.ndarray, n_pad: int):
-        """(dispatch, device_input, engine_label): the production device
-        build for this corpus — the alphabet-adaptive dense-coded
-        one-shot sort when the corpus class qualifies (exactly what
-        suffix_array_bytes routes to), else the byte-ladder engine."""
-        plan = _adaptive_plan(arr_u8, n_pad)
-        if plan is not None:
-            lut, bits, cpw, n_words = plan
-            codes = np.zeros((n_pad,), np.int32)
-            codes[: len(arr_u8)] = lut[arr_u8]
-            c_dev = jnp.asarray(codes)
-            sync(c_dev)
-            return (lambda: _suffix_array_packed(c_dev, n_words, bits, cpw),
-                    c_dev, f"adaptive({bits}b x {cpw * n_words}ch)")
-        padded = np.full((n_pad,), PAD, np.int32)
-        padded[: len(arr_u8)] = arr_u8
-        t_dev = jnp.asarray(padded)
-        sync(t_dev)
-        iw = pick_init_words(n_pad)
-        return (lambda: _suffix_array_padded(t_dev, iw), t_dev,
-                f"ladder({iw}w)")
+        """(dispatch, None, engine_label): the production device build
+        for this corpus, exactly what suffix_array_bytes routes to —
+        adaptive dense-coded vs byte ladder, classic vs two-phase
+        (ops/prefix_doubling.device_build_closure)."""
+        from suffix_tpu.ops.prefix_doubling import device_build_closure
+
+        dispatch, label = device_build_closure(arr_u8, n_pad)
+        sync(dispatch())  # stage + compile outside the timed region
+        return dispatch, None, label
 
     with open(pathlib.Path(__file__).parent / "tests" / "fixtures" / "AP009048_100000.fasta", "rb") as f:
         fixture = f.read()
@@ -353,12 +342,10 @@ def main() -> None:
             detail["vs_native_cpu_128MiB_text"] = round(txt_mbps / cpu_txt, 1)
         except Exception as e:
             detail["native_cpu_128MiB_text_MBps"] = f"unavailable: {e}"
-        # The adaptive engine's device input is coded; the query/LCP
-        # engines read the BYTE corpus — stage it separately.
-        if t_txt.shape[0] != n_txt or txt_label.startswith("adaptive"):
-            padded_txt = txt.astype(np.int32)
-            t_txt = jnp.asarray(padded_txt)
-            sync(t_txt)
+        # The build closure owns its (possibly coded) input; the
+        # query/LCP engines read the BYTE corpus — stage it here.
+        t_txt = jnp.asarray(txt.astype(np.int32))
+        sync(t_txt)
         sa_txt32 = sa_txt.astype(jnp.int32)
         # LCP through the public auto route (survivor census: text is
         # survivor-dense, ~3.5% of n, so this lands on linear Kasai —

@@ -212,6 +212,74 @@ def main():
         print("query parity: 200-sample bounds == native", flush=True)
         return
 
+    if section == "twophase":
+        # Production-route (two-phase) vs classic engine, device input
+        # staged once; the two-phase driver's per-round scalar syncs are
+        # part of its honest cost.
+        from suffix_tpu.utils.textgen import text_corpus
+
+        def measure(label, arr):
+            n = arr.size
+            plan = pd._adaptive_plan(arr, n)
+            m_cap = n // pd.TIE_CAP_FRAC
+            if plan is not None:
+                lut, bits, cpw, n_words = plan
+                codes = np.zeros((n,), np.int32)
+                codes[:] = lut[arr]
+                dev = jnp.asarray(codes)
+                sync(dev)
+                classic = lambda: pd._suffix_array_packed(
+                    dev, n_words, bits, cpw)
+                two = lambda: pd._two_phase_build(
+                    pd._phase1_packed(dev, n_words, bits, cpw, jnp.int32,
+                                      m_cap), n)
+                eng = f"adaptive({bits}b x {cpw*n_words}ch)"
+            else:
+                padded = np.full((n,), pd.PAD, np.int32)
+                padded[:n] = arr
+                dev = jnp.asarray(padded)
+                sync(dev)
+                iw = pd.pick_init_words(n)
+                classic = lambda: pd._suffix_array_padded(dev, iw)
+                two = lambda: pd._two_phase_build(
+                    pd._phase1_padded(dev, iw, jnp.int32, m_cap), n)
+                eng = f"ladder({iw}w)"
+            t0 = time.perf_counter()
+            sa_t = two()
+            sync(sa_t)
+            print(f"{label} two-phase first-run ({eng}): "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
+            times = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                sa_t = two()
+                sync(sa_t)
+                times.append(time.perf_counter() - t0)
+            dt2 = float(np.median(times))
+            sync(classic())
+            times = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                sa_c = classic()
+                sync(sa_c)
+                times.append(time.perf_counter() - t0)
+            dtc = float(np.median(times))
+            print(f"{label}: two-phase {dt2*1e3:8.1f} ms "
+                  f"({n/dt2/1e6:6.1f} MB/s) vs classic {dtc*1e3:8.1f} ms "
+                  f"({n/dtc/1e6:6.1f} MB/s) -> {dtc/dt2:.2f}x", flush=True)
+            assert np.array_equal(np.asarray(sa_t), np.asarray(sa_c)), label
+            print(f"{label}: parity ok", flush=True)
+
+        measure("text 16MiB", text_corpus(1 << 24))
+        fixture = load_fixture()
+        measure("repeated 4MiB",
+                np.frombuffer((fixture * 45)[:1 << 22], np.uint8))
+        rng = np.random.default_rng(0xD4A)
+        measure("dna 64MiB", rng.integers(0, 4, size=1 << 26,
+                                          dtype=np.uint8) + 97)
+        measure("text 128MiB", text_corpus(1 << 27))
+        return
+
     if section in ("textlcp16", "textlcp128"):
         # Focused LCP-only re-measurement (after bulk-engine changes).
         from suffix_tpu.utils.textgen import text_corpus
