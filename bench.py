@@ -168,6 +168,19 @@ def main() -> None:
     except Exception as e:
         detail["native_cpu_repeated_MBps"] = f"unavailable: {e}"
 
+    # --- NEAR-periodic corpus (the doubling floor, kept visible) ---------
+    # The exact fixture above routes to the closed-form periodic engine;
+    # 16 scattered mutations break exactness, so this row shows what
+    # inexact repetitive corpora pay (the ARCHITECTURE.md floor: the
+    # repeat-probe h0 lever + ~8 quadrupling rounds).
+    mut_u8 = rep_u8.copy()
+    mut_u8[np.random.default_rng(1).integers(0, 1 << 22, 16)] ^= 1
+    build_mut, _, mut_label = device_build_fn(mut_u8, 1 << 22)
+    detail["construct_near_repeated_engine"] = mut_label
+    dt_mut = _throughput_time(build_mut, sync)
+    detail["construct_4MiB_near_repeated_MBps"] = round(
+        (1 << 22) / dt_mut / 1e6, 2)
+
     # --- batched queries on the 4 MiB index (merge-join engine) ----------
     sa_dev = jnp.asarray(np.asarray(sa).astype(np.int32))
     _pk, pk_fence, pk_block, _lut = search_ops.build_query_index(t_dev, sa_dev, jnp.int32(n))

@@ -212,6 +212,54 @@ def main():
         print("query parity: 200-sample bounds == native", flush=True)
         return
 
+    if section == "periodic":
+        # Closed-form periodic engine vs the doubling engines on the
+        # repeated fixture (exactly periodic, q=100001) + parity.
+        fixture = load_fixture()
+        rep_u8 = np.frombuffer((fixture * 45)[:1 << 22], np.uint8)
+        n = rep_u8.size
+        disp, label = pd.device_build_closure(rep_u8, n)
+        print("route:", label, flush=True)
+        t0 = time.perf_counter()
+        sa = disp()
+        sync(sa)
+        print(f"first-run (compile+run): {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        times = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            sa = disp()
+            sync(sa)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        print(f"periodic: {dt*1e3:8.2f} ms ({n/dt/1e6:7.1f} MB/s)",
+              flush=True)
+        from suffix_tpu import native
+        golden = native.sais(rep_u8.tobytes())
+        got = np.asarray(sa).astype(np.uint32)  # n_pad == n here
+        assert np.array_equal(got, golden)
+        print("parity: periodic == native SA-IS", flush=True)
+        # Near-periodic (16 mutations): must fall through to doubling.
+        mut = rep_u8.copy()
+        idxs = np.random.default_rng(1).integers(0, n, 16)
+        mut[idxs] ^= 1
+        disp2, label2 = pd.device_build_closure(mut, n)
+        print("near-periodic route:", label2, flush=True)
+        sync(disp2())
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            sa2 = disp2()
+            sync(sa2)
+            times.append(time.perf_counter() - t0)
+        dt2 = float(np.median(times))
+        print(f"near-periodic: {dt2*1e3:8.1f} ms ({n/dt2/1e6:6.1f} MB/s)",
+              flush=True)
+        assert np.array_equal(np.asarray(sa2).astype(np.uint32),
+                              native.sais(mut.tobytes()))
+        print("parity: near-periodic == native SA-IS", flush=True)
+        return
+
     if section == "twophase":
         # Production-route (two-phase) vs classic engine, device input
         # staged once; the two-phase driver's per-round scalar syncs are

@@ -617,12 +617,136 @@ def suffix_array_bytes(data: np.ndarray | bytes,
 TWO_PHASE_SIGMA_MIN = 16
 TWO_PHASE_FORCE = False  # tests flip this to cover every class
 
+# ---------------------------------------------------------------------------
+# Periodic-corpus closed-form derivation.
+#
+# A doubling engine on an exactly periodic corpus (the reference's own
+# scaling test: a FASTA fixture tiled 45x) is round-count-bound: max
+# LCP = n - q forces ~log4(n/q) full-width sorts (ARCHITECTURE.md "The
+# repeated-corpus floor"). But when the period is EXACT the suffix
+# array has a derivation that needs no doubling at all:
+#
+# - Verified global period q (arr[j] == arr[j+q] for all j), minimal.
+#   Minimality makes P = arr[:q] primitive, so the q rotations of P are
+#   pairwise distinct length-q strings: any two suffixes from different
+#   residue classes (i mod q) with >= q remaining characters compare
+#   exactly as their rotations do.
+# - Within one residue class, suffix(i+q) is a PROPER PREFIX of
+#   suffix(i) (they agree for all of suffix(i+q)'s n-i-q characters),
+#   so the class orders by DESCENDING start index — an arithmetic
+#   chain, emitted in closed form.
+# - The last q-1 suffixes (shorter than q) and the rotation order both
+#   fall out of ONE small suffix array: V = T[:2q] ++ T[n-q+1:].
+#   V-suffixes starting in [0, q) read >= q true corpus characters
+#   (their first q = the rotation; rotations resolve within q), and
+#   V-suffixes starting at 2q.. ARE the true tail suffixes (V ends
+#   where T ends). Filtering V's SA to those two groups, in order,
+#   interleaves the rotation classes and the tails exactly as the full
+#   SA does — tails sort before any class they prefix (the sentinel
+#   rule), which V reproduces verbatim.
+#
+# Cost: one SA of 3q-1 characters + one elementwise expansion pass —
+# measured two orders of magnitude under the doubling floor on the
+# 4 MiB repeated fixture. Exactness is a precondition, verified with
+# one vectorized compare; anything inexact keeps the doubling engines.
+# ---------------------------------------------------------------------------
+
+PERIODIC_MIN_TILES = 8        # n/q below this: doubling is fine anyway
+PERIODIC_MAX_PERIOD = 1 << 22  # V build stays small
+
+
+def _exact_min_period(arr: np.ndarray) -> int | None:
+    """The minimal exact global period q of ``arr`` (arr[j] == arr[j+q]
+    for ALL j), or None. The leading-prefix probe finds the smallest
+    recurrence p; p lower-bounds every global period, so if p itself
+    verifies globally it IS the minimum."""
+    n = int(arr.size)
+    if n < 4 * PROBE_LEN:
+        return None
+    window = arr[:min(n, PROBE_WINDOW)].tobytes()
+    p = window.find(window[:PROBE_LEN], 1)
+    if p == -1 or p > PERIODIC_MAX_PERIOD:
+        return None
+    if not np.array_equal(arr[p:], arr[:n - p]):
+        return None
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _periodic_expand(sa_v, q, n, n_pad: int):
+    """Expand the small SA of V = T[:2q] ++ T[n-q+1:] into the full
+    padded SA (see the derivation note above). ``sa_v`` is the padded
+    SA of the PAD-padded V (padding entries sort first)."""
+    b_v = sa_v.shape[0]
+    dtype = sa_v.dtype
+    len_v = 3 * q - 1
+    pad_v = b_v - len_v
+    pos = jnp.arange(b_v, dtype=dtype)
+    v_idx = sa_v
+    is_rot = (pos >= pad_v) & (v_idx < q)
+    is_tail = (pos >= pad_v) & (v_idx >= 2 * q) & (v_idx < len_v)
+    keep = is_rot | is_tail
+    # Stable compaction of the kept entries (unique keys -> the sort is
+    # deterministic): exactly 2q - 1 survive, in SA order.
+    key = jnp.where(keep, pos, pos + b_v)
+    _, order = jax.lax.sort((key, v_idx), num_keys=1, is_stable=False)
+    j = jnp.arange(b_v, dtype=dtype)
+    valid = j < 2 * q - 1
+    rot = valid & (order < q)
+    # Class size for rotation phi: members phi, phi+q, ... <= n - q.
+    m = jnp.where(rot, (n - q - jnp.minimum(order, q - 1)) // q + 1,
+                  jnp.where(valid, 1, 0))
+    start = (jnp.cumsum(m) - m) + (n_pad - n)
+    # Rotation chains emit descending (val0 - t*q); tails emit one
+    # value. Two step functions (val0, start) materialize over the
+    # output slots by delta scatter-add + cumsum (duplicate starts from
+    # zero-size pad entries accumulate correctly).
+    val0 = jnp.where(rot, order + (m - 1) * q,
+                     n - q + 1 + (order - 2 * q))
+    val0 = jnp.where(valid, val0, 0)
+
+    def rep(x):
+        prev = jnp.concatenate([jnp.zeros((1,), dtype), x[:-1]])
+        delta = jnp.zeros((n_pad,), dtype).at[start].add(
+            jnp.where(valid, x - prev, 0), mode="drop")
+        return jnp.cumsum(delta)
+
+    slot = jnp.arange(n_pad, dtype=dtype)
+    out = rep(val0) - (slot - rep(start)) * q
+    return jnp.where(slot < n_pad - n, n_pad - 1 - slot, out)
+
+
+def _periodic_dispatch(arr: np.ndarray, q: int, n_pad: int, index_dtype):
+    """Build closure for a verified-exact-period corpus: device SA of
+    the 3q-1-char V + the closed-form expansion."""
+    n = int(arr.size)
+    v = np.concatenate([arr[:2 * q], arr[n - q + 1:]])
+    b_v = bucket_size(int(v.size))
+    v_pad = np.full((b_v,), PAD, np.int32)
+    v_pad[:v.size] = v
+    v_dev = jnp.asarray(v_pad)
+    iw = pick_init_words(b_v)
+
+    def dispatch():
+        sa_v = _suffix_array_padded(v_dev, init_words=iw,
+                                    index_dtype=index_dtype)
+        return _periodic_expand(sa_v, jnp.asarray(q, sa_v.dtype),
+                                jnp.asarray(n, sa_v.dtype), n_pad)
+
+    return dispatch, f"periodic(q={q})"
+
 
 def device_build_closure(arr: np.ndarray, n_pad: int, index_dtype=jnp.int32):
     """(dispatch, label): the production device build for this corpus —
     stages the input once and returns a re-dispatchable closure (what
     suffix_array_bytes runs, and what the benchmarks time)."""
     n = int(arr.shape[0])
+    if n_pad >= ADAPTIVE_PACK_MIN:
+        # Verified-exact-period corpora skip doubling entirely (the
+        # closed-form derivation above); anything inexact falls through.
+        q = _exact_min_period(arr)
+        if q is not None and n // q >= PERIODIC_MIN_TILES:
+            return _periodic_dispatch(arr, q, n_pad, index_dtype)
     plan, sigma, repeat_hit = (
         _adaptive_plan(arr, n_pad, with_meta=True)
         if n_pad >= ADAPTIVE_PACK_MIN else (None, 0, False))
