@@ -463,6 +463,44 @@ def _kasai_route(text_bytes: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return kasai_host(text_bytes, sa)
 
 
+# Sampled pre-census: above this estimated survivor fraction the corpus
+# is clearly survivor-dense (the Kasai route wins by the measured
+# routing table) and the device staging + exact census are skipped
+# entirely. 2x the bulk bound (1/64) so borderline corpora still get
+# the exact device census. With 64k samples the binomial CI at the
+# threshold is ~±0.1%, far from flipping a 2/64-vs-1/64 decision.
+LCP_SAMPLE_DENSE_FRAC = 2 / 64
+LCP_SAMPLE_K = 1 << 16
+
+
+def _sampled_survivor_rate(t_np: np.ndarray, sa: np.ndarray,
+                           k: int = LCP_SAMPLE_K) -> float:
+    """Estimated fraction of adjacent SA pairs sharing >= KEY_SYMS
+    bytes — a host-side numpy probe (~ms) that lets survivor-dense
+    corpora route to Kasai without touching the device. Pairs where a
+    suffix ENDS inside the window count as survivors (conservative:
+    overestimates push toward Kasai, and the exact census still decides
+    anything near the boundary)."""
+    from suffix_tpu.ops import search2
+
+    n = int(sa.shape[0])
+    if n < 2:
+        return 0.0
+    k = min(k, n - 1)
+    rng = np.random.default_rng(0x5A17)
+    ranks = rng.integers(1, n, size=k)
+    offs = np.arange(search2.KEY_SYMS, dtype=np.int64)
+    a = sa[ranks].astype(np.int64)[:, None] + offs
+    b = sa[ranks - 1].astype(np.int64)[:, None] + offs
+    in_a = a < n
+    in_b = b < n
+    wa = t_np[np.minimum(a, n - 1)]
+    wb = t_np[np.minimum(b, n - 1)]
+    eq = (wa == wb) & in_a & in_b
+    surv = np.all(eq | ~in_a | ~in_b, axis=1)
+    return float(surv.mean())
+
+
 def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
                 pk: tuple | None = None, method: str = "auto") -> np.ndarray:
     """Host wrapper: LCP array (uint32) from text bytes and its SA.
@@ -483,6 +521,14 @@ def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
         return np.empty((0,), dtype=np.uint32)
     n_pad = bucket_size(n)
     t_np = np.asarray(text_bytes, dtype=np.uint8)
+    if method == "auto" and pk is None and n >= (1 << 20):
+        # Survivor-dense corpora (text-class, repetition) route to the
+        # linear Kasai without staging anything on device: a sampled
+        # host census (~ms) decides clearly-dense cases — measured
+        # ~40 s of staging + exact-census overhead at 128 MiB whose
+        # only outcome was "use Kasai".
+        if _sampled_survivor_rate(t_np, sa) > LCP_SAMPLE_DENSE_FRAC:
+            return _kasai_route(t_np, sa)
     t_pad = np.full((n_pad,), PAD, dtype=np.int32)
     t_pad[:n] = t_np
     sa_pad = np.zeros((n_pad,), dtype=np.int32)

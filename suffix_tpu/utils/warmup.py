@@ -66,6 +66,20 @@ def warm(n_bytes: int,
     iw = pick_init_words(n_pad)
     step(f"build n={n_pad} (init_words={iw})",
          lambda: _suffix_array_padded(t_dev, iw))
+    from suffix_tpu.ops.prefix_doubling import (TIE_CAP_FRAC,
+                                                TWO_PHASE_MIN,
+                                                _phase1_padded,
+                                                _two_phase_build)
+
+    if n_pad >= TWO_PHASE_MIN:
+        # The two-phase route (what suffix_array_bytes actually runs on
+        # byte-ladder / text-class corpora at this size). The phase-2
+        # shapes bucket on the live tie mass, so warm a typical one by
+        # running the driver end to end on the random corpus.
+        step(f"two-phase build n={n_pad}",
+             lambda: _two_phase_build(
+                 _phase1_padded(t_dev, iw, jnp.int32,
+                                n_pad // TIE_CAP_FRAC), n_pad))
     if n_pad >= ADAPTIVE_PACK_MIN:
         for sigma in alphabet_sizes:
             sample = (rng.integers(0, max(int(sigma), 2),

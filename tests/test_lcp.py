@@ -171,6 +171,38 @@ def test_bulk_engine_sparse_repeats(monkeypatch):
     assert np.array_equal(expected, got2)
 
 
+def test_sampled_dense_short_circuit(monkeypatch):
+    """>= 1 MiB survivor-dense corpora route to Kasai from a host-side
+    SAMPLED census — no device staging, no exact census (which measured
+    ~40 s of pure overhead at 128 MiB text)."""
+    from suffix_tpu import native
+    from suffix_tpu.ops import lcp as lcp_ops
+
+    text = b"abracadabra-zyx!" * (1 << 17)  # 2 MiB, period 16
+    st_ = SuffixTable.new(text)
+
+    def boom(*a, **k):
+        raise AssertionError("exact device census ran")
+
+    monkeypatch.setattr(lcp_ops, "_survivor_count", boom)
+    got = st_.lcp_lens()
+    if native.available():
+        expected = native.kasai(text, st_.table())
+        assert np.array_equal(expected, got)
+
+
+def test_sampled_rate_matches_exact_class():
+    from suffix_tpu.ops import lcp as lcp_ops
+
+    rng = np.random.default_rng(2)
+    dense = np.tile(np.frombuffer(b"abcdefgh" * 4, np.uint8), 40000)
+    st_d = SuffixTable.new(bytes(dense))
+    assert lcp_ops._sampled_survivor_rate(dense, st_d.table()) > 0.9
+    sparse = rng.integers(0, 256, size=1 << 20, dtype=np.uint8)
+    st_s = SuffixTable.new(bytes(sparse))
+    assert lcp_ops._sampled_survivor_rate(sparse, st_s.table()) < 0.001
+
+
 def test_bulk_engine_stagea_only(monkeypatch):
     """Many shallow survivors, none deep: stage A alone must resolve
     (no compaction/deep pass) — pinned by forcing the bulk route with a
