@@ -110,6 +110,39 @@ def test_periodic_u64(small_gate):
         jax.config.update("jax_enable_x64", False)
 
 
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=1, max_size=40),
+       st.integers(min_value=280, max_value=2000))
+def test_prop_tiled(block, n):
+    # Any tiled corpus (random block content/length, arbitrary
+    # truncation) through the public entry == the oracle. Routing may
+    # pick periodic, adaptive, or the ladder depending on block
+    # structure — all must agree. (ADAPTIVE_PACK_MIN untouched here:
+    # this also covers the small-corpus classic path.)
+    arr = tiled(block, n)
+    got = pd.suffix_array_bytes(arr)
+    assert np.array_equal(got, naive_table(arr.tobytes()))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=1, max_size=40),
+       st.integers(min_value=280, max_value=1500))
+def test_prop_tiled_forced_periodic(block, n):
+    # Same corpora with the size gate forced down so the periodic route
+    # actually fires whenever the exactness check allows it.
+    orig = pd.ADAPTIVE_PACK_MIN
+    pd.ADAPTIVE_PACK_MIN = 16
+    try:
+        arr = tiled(block, n)
+        got = pd.suffix_array_bytes(arr)
+        assert np.array_equal(got, naive_table(arr.tobytes()))
+    finally:
+        pd.ADAPTIVE_PACK_MIN = orig
+
+
 def test_periodic_matches_doubling_at_scale(small_gate, rng):
     # Same corpus through the periodic route and the forced classic
     # adaptive engine (route bypassed by calling the packed builder):
