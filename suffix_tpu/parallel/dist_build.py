@@ -481,6 +481,17 @@ def suffix_array_sharded_device(data, mesh: Mesh, index_dtype: str = "u32"):
     n_local = _local_bucket(n, n_dev)
     n_total = n_local * n_dev
     dtype, out_dtype = _resolve_index_dtype(index_dtype, n_total)
+    if n_dev == 1:
+        # A 1-device mesh pays the SPMD program's measured 1.43x
+        # overhead (bench: sharded_overhead_1dev) and misses the
+        # class-routed single-chip engines (two-phase, periodic);
+        # route through the single-chip closure — same padding-first
+        # layout, same output, then commit to the mesh's sharding.
+        from suffix_tpu.ops.prefix_doubling import device_build_closure
+
+        dispatch, _ = device_build_closure(arr, n_total, index_dtype=dtype)
+        sa_full = jax.device_put(dispatch(), NamedSharding(mesh, P(AXIS)))
+        return sa_full, n_total, n_local, out_dtype
     plan_full = _sharded_adaptive_plan(arr, n_total, n_local)
     if plan_full is not None:
         lut, plan = plan_full
