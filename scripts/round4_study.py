@@ -8,14 +8,25 @@ pipe loses everything):
     python scripts/round4_study.py d1      > /tmp/r4_d1.log 2>&1
 
 Sections:
-  repeat  — the 4 MiB repeated fixture: initial-word width ladder for
-            the dense-coded first sort (the h0=40 vs 70 vs 80 round
-            question, VERDICT r3 next-round #5) + parity.
-  text16  — 16 MiB enwik8-class corpus: engine routing (adaptive 7-bit
-            vs byte ladder), build, LCP survivor census + auto route.
-  text128 — 128 MiB text: build, 10k mixed-length query battery, LCP.
-  d1      — SPMD sharded build on a 1-device mesh vs the single-chip
-            engine at 64 MiB: the D=1 overhead anchor (VERDICT #7).
+  repeat    — the 4 MiB repeated fixture: initial-word width ladder for
+              the dense-coded first sort (the h0=40 vs 70 vs 80 round
+              question, VERDICT r3 next-round #5) + parity.
+  text16/
+  text128   — enwik8-class corpus: engine routing (adaptive 7-bit vs
+              byte ladder), build, LCP survivor census + bulk engine,
+              10k mixed-length query battery, CPU baselines.
+  textlcp16/
+  textlcp128 — focused LCP-only re-measurement (bulk ladder vs Kasai,
+              per-stage verbose breakdown).
+  twophase  — production two-phase route vs classic on text/repeated/
+              DNA at 16 MiB-128 MiB (+ parity).
+  periodic  — closed-form periodic engine vs doubling on the repeated
+              fixture, plus the near-periodic fall-through.
+  stride32  — fence-stride ladder with split fence-sort/block-count
+              attribution at 4 MiB ("stride32-26": the 64 MiB point).
+  d1        — SPMD sharded build on a 1-device mesh vs the single-chip
+              engine at 64 MiB: wall + device-only overhead anchors
+              (VERDICT #7) + staging-path comparison.
 """
 
 from __future__ import annotations
