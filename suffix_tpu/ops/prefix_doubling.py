@@ -288,11 +288,10 @@ def _phase1_padded(text, init_words: int, index_dtype, m_cap: int):
                             m_cap)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_words", "bits", "cpw", "index_dtype",
-                                    "m_cap"))
-def _phase1_packed(codes, n_words: int, bits: int, cpw: int, index_dtype,
-                   m_cap: int):
+def _packed_words(codes, n_words: int, bits: int, cpw: int):
+    """Dense-coded initial words: logarithmic pair-packing ladder, then
+    compose an arbitrary ``cpw`` from the ladder's binary components
+    (e.g. 10 chars = 8 + 2). Shared by every packed-entry engine."""
     n = codes.shape[0]
 
     def shifted(arr, off):
@@ -316,7 +315,15 @@ def _phase1_packed(codes, n_words: int, bits: int, cpw: int, index_dtype,
                 part = shifted(ladder[kk], off)
                 comp = part if comp is None else (comp << (bits * w)) | part
                 off += w
-        words = [shifted(comp, w * cpw) for w in range(n_words)]
+        return [shifted(comp, w * cpw) for w in range(n_words)]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_words", "bits", "cpw", "index_dtype",
+                                    "m_cap"))
+def _phase1_packed(codes, n_words: int, bits: int, cpw: int, index_dtype,
+                   m_cap: int):
+    words = _packed_words(codes, n_words, bits, cpw)
     return _doubling_phase1(tuple(words), n_words * cpw, index_dtype,
                             m_cap)
 
@@ -437,35 +444,7 @@ def _suffix_array_packed(codes: jax.Array, n_words: int, bits: int,
     64 MiB measurements. Bit-identical output — codes
     are order-isomorphic to bytes and 0 is the sentinel, exactly the
     PAD rule of the byte path."""
-    n = codes.shape[0]
-
-    def shifted(arr, off):
-        if off == 0:
-            return arr
-        ext = jnp.concatenate([arr, jnp.zeros((off,), jnp.int32)])
-        return jax.lax.dynamic_slice(ext, (off,), (n,))
-
-    with jax.named_scope("P0_dense_pack"):
-        # Logarithmic pair-packing ladder: ladder[k][i] covers
-        # codes[i, i + 2^k) — log2 streaming passes instead of cpw
-        # slice-shift-or passes.
-        ladder = [codes]
-        width = 1
-        while 2 * width <= cpw:
-            prev = ladder[-1]
-            ladder.append((prev << (bits * width)) | shifted(prev, width))
-            width *= 2
-        # Compose an arbitrary cpw from the ladder's binary components
-        # (e.g. 10 chars = 8 + 2): fold set bits of cpw from the MSB down.
-        comp = None
-        off = 0
-        for k in range(len(ladder) - 1, -1, -1):
-            w = 1 << k
-            if cpw & w:
-                part = shifted(ladder[k], off)
-                comp = part if comp is None else (comp << (bits * w)) | part
-                off += w
-        words = [shifted(comp, w * cpw) for w in range(n_words)]
+    words = _packed_words(codes, n_words, bits, cpw)
     return _doubling_core(tuple(words), n_words * cpw, index_dtype)
 
 
@@ -514,13 +493,21 @@ def _repeat_lcp_lower_bound(arr: np.ndarray) -> int | None:
     return lcp
 
 
-def _adaptive_plan(arr: np.ndarray, n_pad: int, with_meta: bool = False):
+def _adaptive_plan(arr: np.ndarray, n_pad: int, with_meta: bool = False,
+                   lcp_lb="auto"):
     """(lut, bits, cpw, n_words) for the dense-coded initial sort, or
     None when the byte ladder is at least as good (large alphabets, or
     expected LCP beyond ADAPTIVE_MAX_WORDS words).
 
     ``with_meta=True`` returns (plan, sigma, repeat_hit) — the corpus
-    stats the two-phase routing needs, computed in the same pass."""
+    stats the two-phase routing needs, computed in the same pass.
+
+    ``lcp_lb``: "auto" probes the corpus for a long self-repeat (the
+    round-minimizing width lever below); callers that already probed
+    (device_build_closure) pass the measured bound, or None for "no
+    repeat — use the random-text estimate" (the patched-periodic engine
+    wants exactly that: its phase A only needs to separate rotations,
+    not clear the corpus-wide repeat)."""
     counts = np.bincount(arr, minlength=256)
     present = np.flatnonzero(counts)
     sigma = int(present.size)
@@ -541,7 +528,8 @@ def _adaptive_plan(arr: np.ndarray, n_pad: int, with_meta: bool = False):
     # so pick the width that minimizes quadrupling rounds (h0 * 4^r
     # must reach the repeat length) — h0 = 80 instead of 40 on the
     # 4 MiB repeated fixture drops 9 rounds to 8.
-    lcp_lb = _repeat_lcp_lower_bound(arr)
+    if lcp_lb == "auto":
+        lcp_lb = _repeat_lcp_lower_bound(arr)
     if lcp_lb is not None and lcp_lb > cpw * ADAPTIVE_MAX_WORDS:
 
         def rounds(h0: int) -> int:
@@ -672,6 +660,65 @@ def _exact_min_period(arr: np.ndarray) -> int | None:
     return p
 
 
+# Probe anchors for the defect-tolerant period search: a mutation inside
+# the leading PROBE_LEN bytes (or inside its recurrence window) breaks
+# the anchor-0 probe, so retry with the prefix taken a little further in.
+# Three anchors cover "mutation near the head" without adding more than
+# two extra O(n) verify passes in the worst case.
+_PROBE_ANCHORS = (0, 7 * PROBE_LEN + 1, (1 << 16) + 13)
+# Defect budget for the patched-periodic engine (ops/patched.py): the
+# closed-form tables scale with the defect count, and a corpus with many
+# defects is not "nearly periodic" in any useful sense.
+PATCH_MAX_DEFECTS = 512
+
+
+def _period_probe(arr: np.ndarray):
+    """(anchor0_candidate, best_candidate) — each a tuple
+    (p, n_defects, first_defect_or_lcp, defect_positions_or_None), or
+    None.
+
+    A candidate period p comes from one C-speed bytes.find (the leading
+    PROBE_LEN bytes from an anchor recurring at distance p) and is then
+    VERIFIED with one vectorized compare: the defect set
+    D = {x : arr[x] != arr[x+p]} is exact, never assumed. Defect
+    positions are only materialized when the count fits the
+    patched-periodic budget (a dense-defect corpus would allocate O(n)).
+
+    The anchor-0 candidate preserves the legacy probe semantics exactly
+    (`_exact_min_period` / `_repeat_lcp_lower_bound`): its third field
+    is the first defect position — for a defect-free p that is n - p,
+    the max-LCP lower bound the width lever wants.
+    """
+    n = int(arr.size)
+    if n < 4 * PROBE_LEN:
+        return None, None
+    window = arr[:min(n, PROBE_WINDOW)].tobytes()
+    out0 = None
+    best = None
+    for a in _PROBE_ANCHORS:
+        if a + PROBE_LEN >= len(window):
+            break
+        j = window.find(window[a:a + PROBE_LEN], a + 1)
+        if j == -1:
+            continue
+        p = j - a
+        if p <= 0:
+            continue
+        neq = arr[p:] != arr[:n - p]
+        cnt = int(np.count_nonzero(neq))
+        first = int(np.argmax(neq)) if cnt else (n - p)
+        defects = (np.flatnonzero(neq).astype(np.int64)
+                   if 0 < cnt <= PATCH_MAX_DEFECTS else None)
+        cand = (p, cnt, first, defects)
+        if a == 0:
+            out0 = cand
+        if best is None or cnt < best[1]:
+            best = cand
+        if cnt == 0 or defects is not None:
+            break  # exact or within the patched budget — good enough
+    return out0, best
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad",))
 def _periodic_expand(sa_v, q, n, n_pad: int):
     """Expand the small SA of V = T[:2q] ++ T[n-q+1:] into the full
@@ -741,14 +788,31 @@ def device_build_closure(arr: np.ndarray, n_pad: int, index_dtype=jnp.int32):
     stages the input once and returns a re-dispatchable closure (what
     suffix_array_bytes runs, and what the benchmarks time)."""
     n = int(arr.shape[0])
+    lcp_lb = None
     if n_pad >= ADAPTIVE_PACK_MIN:
-        # Verified-exact-period corpora skip doubling entirely (the
-        # closed-form derivation above); anything inexact falls through.
-        q = _exact_min_period(arr)
-        if q is not None and n // q >= PERIODIC_MIN_TILES:
-            return _periodic_dispatch(arr, q, n_pad, index_dtype)
+        cand0, best = _period_probe(arr)
+        if cand0 is not None:
+            p0, cnt0, first0, _ = cand0
+            lcp_lb = first0  # first defect (or n - p0 when exact)
+            # Verified-exact-period corpora skip doubling entirely (the
+            # closed-form derivation above).
+            if (cnt0 == 0 and p0 <= PERIODIC_MAX_PERIOD
+                    and n // p0 >= PERIODIC_MIN_TILES):
+                return _periodic_dispatch(arr, p0, n_pad, index_dtype)
+        if best is not None:
+            pb, cntb, _, defb = best
+            from suffix_tpu.ops import patched
+            if (defb is not None and cntb > 0
+                    and patched.PATCH_MIN_TILES <= n // pb
+                    <= patched.PATCH_KMAX):
+                # Nearly periodic (sparse verified defects): the
+                # phase-pure closed-form engine (ops/patched.py).
+                disp = patched.patched_dispatch(arr, pb, defb, n_pad,
+                                                index_dtype)
+                if disp is not None:
+                    return disp
     plan, sigma, repeat_hit = (
-        _adaptive_plan(arr, n_pad, with_meta=True)
+        _adaptive_plan(arr, n_pad, with_meta=True, lcp_lb=lcp_lb)
         if n_pad >= ADAPTIVE_PACK_MIN else (None, 0, False))
     two_phase = n_pad >= TWO_PHASE_MIN and (
         TWO_PHASE_FORCE or plan is None
