@@ -53,16 +53,21 @@ def _cmd_build(args) -> int:
         st = SuffixTable.new_naive(data)
     else:
         st = SuffixTable.new(data, engine=args.engine,
-                             index_dtype=args.index_dtype)
+                             index_dtype=args.index_dtype,
+                             collect_stats=args.stats)
     dt = time.perf_counter() - t0
     print(f"Suffixes: {st.len()}")
+    if args.stats and st.build_stats is not None:
+        from suffix_tpu.utils.metrics import stats_json
+
+        print(stats_json(st.build_stats))
     if args.verbose:
         mbps = len(data) / max(dt, 1e-9) / 1e6
         print(f"built in {dt:.3f}s ({mbps:.1f} MB/s)", file=sys.stderr)
     if args.output:
         from suffix_tpu.utils.checkpoint import save_index
 
-        save_index(args.output, st)
+        save_index(args.output, st, build_stats=st.build_stats)
         print(f"index saved to {args.output}", file=sys.stderr)
     return 0
 
@@ -179,6 +184,10 @@ def _cmd_info(args) -> int:
     print(f"mean lcp:     {float(lcp.mean()) if n else 0.0:.2f}")
     # Distinct non-empty substrings = sum of (suffix length - lcp).
     print(f"distinct substrings: {n * (n + 1) // 2 - int(lcp.sum())}")
+    if getattr(st, "build_stats", None):
+        from suffix_tpu.utils.metrics import stats_json
+
+        print(f"build stats:  {stats_json(st.build_stats)}")
     return 0
 
 
@@ -235,6 +244,10 @@ def main(argv=None) -> int:
     b.add_argument("--index-dtype", default="u32",
                    choices=["u32", "u64", "auto"],
                    help="u64 lifts the 2^31-byte cap (needs jax_enable_x64)")
+    b.add_argument("--stats", action="store_true",
+                   help="instrumented build: print one JSON line of "
+                        "structured metrics (engine, rounds, tie-mass "
+                        "trajectory, bytes/s) and save it with -o")
     b.set_defaults(fn=_cmd_build)
 
     s = sub.add_parser("stree", help="print a suffix tree as GraphViz dot")

@@ -102,6 +102,12 @@ def _load_fastpath():
     platform) falls back to the ctypes route silently.
     """
     global _fastpath
+    # Lock-free fast path: after the first load this is one global read
+    # (~20 ns); taking the lock per call cost ~430 ns — more than the
+    # whole C build of "mississippi" (bench_micro sais_small).
+    fp = _fastpath
+    if fp is not None:
+        return fp or None
     with _lock:
         if _fastpath is not None:
             return _fastpath or None

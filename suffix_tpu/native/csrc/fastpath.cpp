@@ -112,12 +112,11 @@ inline bool query_view(PyObject* query, const uint8_t** q, uint32_t* qlen,
     *qlen = static_cast<uint32_t>(l);
     return true;  // the UTF-8 cache lives as long as the str itself
   }
-  // Buffer-protocol objects only (bytearray / memoryview / ndarray):
-  // PyBytes_FromObject alone would zero-fill from a plain int.
-  if (!PyObject_CheckBuffer(query)) {
-    PyErr_SetString(PyExc_TypeError, "query must be bytes, str or buffer");
-    return false;
-  }
+  // Anything else takes the exact `bytes(query)` coercion (buffer
+  // protocol, sequences of ints, even the int zero-fill): the Python
+  // wrappers coerce with bytes() on the un-bound first call, and the
+  // bound extension methods must accept the same inputs on every call
+  // after (ADVICE r4: call-N behavior must match call-1).
   PyObject* b = PyBytes_FromObject(query);
   if (!b) return false;
   *owner = b;

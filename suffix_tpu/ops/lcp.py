@@ -312,6 +312,10 @@ def _bulk_refine_prefix(text, n_text, a, b, lcp, flag, s_pad: int, w: int,
     over per-element gathers in the chunked engine; element gathers
     remain the fallback for unaligned pad sizes (tiny test corpora)."""
     offs = jnp.arange(w, dtype=jnp.int32)
+    # s_pad comes from bucket_size (powers of two), so the block grid
+    # tiles it exactly; a non-multiple pad would silently leave the tail
+    # lanes unrefined (ADVICE r4) — refuse at trace time instead.
+    assert s_pad % row_block == 0, (s_pad, row_block)
     n_blocks = s_pad // row_block
     n_pad_t = text.shape[0]
     aligned = n_pad_t % 128 == 0 and n_pad_t >= 256

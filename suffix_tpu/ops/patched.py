@@ -194,13 +194,15 @@ def _staged(x: np.ndarray, fill) -> jax.Array:
 
 
 def _patched_core(words, h0, index_dtype, n, q, bnds, cls_arr, rankT_flat,
-                  rank_s, n_cls, rs_cap):
+                  rank_s, n_cls, rs_cap, with_stats: bool = False):
     """One compiled program: adaptive initial sort -> quadrupling rounds
     with a per-round phase-purity check -> either the closed-form 2-key
     finish (pure) or classic continuation to completion (never pure).
 
     ``h0``, ``n``, ``q``, ``n_cls``, ``rs_cap`` are traced scalars — one
     compile per (shape bucket, pack plan), not per corpus.
+    ``with_stats`` additionally returns (h_final, done, pure) — the
+    metrics surface (utils/metrics.py), a separate compile.
     """
     from suffix_tpu.ops.prefix_doubling import _invert_permutation
 
@@ -267,7 +269,7 @@ def _patched_core(words, h0, index_dtype, n, q, bnds, cls_arr, rankT_flat,
                 lambda: _invert_permutation(sa, dense))
         return (new_rank, sa, k * 4, done, pure)
 
-    rank, sa_sorted, _, done, _ = jax.lax.while_loop(
+    rank, sa_sorted, k_fin, done, pure_fin = jax.lax.while_loop(
         cond, body,
         (rank0, sa0, h0.astype(index_dtype), done0, pure0))
 
@@ -288,34 +290,45 @@ def _patched_core(words, h0, index_dtype, n, q, bnds, cls_arr, rankT_flat,
 
     # done => sa_sorted is already the full SA (all ranks distinct);
     # otherwise the loop stopped on purity and the closed form finishes.
-    return jax.lax.cond(done, lambda r: sa_sorted, closed_form, rank)
+    sa = jax.lax.cond(done, lambda r: sa_sorted, closed_form, rank)
+    if with_stats:
+        return sa, k_fin, done, pure_fin
+    return sa
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_words", "bits", "cpw", "index_dtype"))
+                   static_argnames=("n_words", "bits", "cpw", "index_dtype",
+                                    "with_stats"))
 def _patched_packed(codes, n_words: int, bits: int, cpw: int, index_dtype,
                     h0, n, q, bnds, cls_arr, rankT_flat, rank_s, n_cls,
-                    rs_cap):
+                    rs_cap, with_stats: bool = False):
     from suffix_tpu.ops.prefix_doubling import _packed_words
     words = _packed_words(codes, n_words, bits, cpw)
     return _patched_core(tuple(words), h0, index_dtype, n, q, bnds,
-                         cls_arr, rankT_flat, rank_s, n_cls, rs_cap)
+                         cls_arr, rankT_flat, rank_s, n_cls, rs_cap,
+                         with_stats=with_stats)
 
 
-@functools.partial(jax.jit, static_argnames=("init_words", "index_dtype"))
+@functools.partial(jax.jit, static_argnames=("init_words", "index_dtype",
+                                             "with_stats"))
 def _patched_padded(text, init_words: int, index_dtype, h0, n, q, bnds,
-                    cls_arr, rankT_flat, rank_s, n_cls, rs_cap):
+                    cls_arr, rankT_flat, rank_s, n_cls, rs_cap,
+                    with_stats: bool = False):
     from suffix_tpu.ops.prefix_doubling import _initial_words
     words = _initial_words(text, init_words)
     return _patched_core(tuple(words), h0, index_dtype, n, q, bnds,
-                         cls_arr, rankT_flat, rank_s, n_cls, rs_cap)
+                         cls_arr, rankT_flat, rank_s, n_cls, rs_cap,
+                         with_stats=with_stats)
 
 
 def patched_dispatch(arr: np.ndarray, q: int, defects: np.ndarray,
-                     n_pad: int, index_dtype=jnp.int32):
+                     n_pad: int, index_dtype=jnp.int32, stats=None):
     """(dispatch, label) build closure for a verified near-periodic
     corpus, or None when the host tables refuse (over budget) — the
-    caller then falls through to the doubling engines."""
+    caller then falls through to the doubling engines.
+
+    ``stats`` (optional dict, the metrics surface): routing facts now,
+    phase-A stop state (h_final / closed_form / rounds) per dispatch."""
     from suffix_tpu.ops import prefix_doubling as pd
 
     tabs = _patch_tables(arr, q, defects)
@@ -331,6 +344,21 @@ def patched_dispatch(arr: np.ndarray, q: int, defects: np.ndarray,
     n_s = jnp.int32(n)
     q_s = jnp.int32(q)
     label = f"patched(q={q},defects={int(defects.size)})"
+    if stats is not None:
+        stats.update(engine_family="patched", period=int(q),
+                     defects=int(defects.size), tiles=tabs["k"])
+
+    def _stats_run(run, h0_chars):
+        sa, k, done, pure = run()
+        rounds = 0
+        h = h0_chars
+        while h < int(k):
+            h *= 4
+            rounds += 1
+        stats.update(rounds=rounds, h_final=int(k), h0=h0_chars,
+                     closed_form=bool(pure) and not bool(done))
+        return sa
+
     # Phase A only needs to separate period ROTATIONS (no corpus-wide
     # repeat to clear): the random-text width estimate, not the
     # round-minimizing repeat lever (lcp_lb=None).
@@ -341,6 +369,11 @@ def patched_dispatch(arr: np.ndarray, q: int, defects: np.ndarray,
         codes[:n] = lut[arr]
         c_dev = jnp.asarray(codes)
         h0 = jnp.int32(n_words * cpw)
+        if stats is not None:
+            return (lambda: _stats_run(lambda: _patched_packed(
+                c_dev, n_words, bits, cpw, index_dtype, h0, n_s, q_s,
+                bnds_d, cls_d, rankT_d, rank_s_d, n_cls, rs_cap,
+                with_stats=True), n_words * cpw), label)
         return (lambda: _patched_packed(
             c_dev, n_words, bits, cpw, index_dtype, h0, n_s, q_s, bnds_d,
             cls_d, rankT_d, rank_s_d, n_cls, rs_cap), label)
@@ -349,6 +382,10 @@ def patched_dispatch(arr: np.ndarray, q: int, defects: np.ndarray,
     t_dev = jnp.asarray(padded)
     iw = pd.pick_init_words(n_pad)
     h0 = jnp.int32(3 * iw)
+    if stats is not None:
+        return (lambda: _stats_run(lambda: _patched_padded(
+            t_dev, iw, index_dtype, h0, n_s, q_s, bnds_d, cls_d, rankT_d,
+            rank_s_d, n_cls, rs_cap, with_stats=True), 3 * iw), label)
     return (lambda: _patched_padded(
         t_dev, iw, index_dtype, h0, n_s, q_s, bnds_d, cls_d, rankT_d,
         rank_s_d, n_cls, rs_cap), label)

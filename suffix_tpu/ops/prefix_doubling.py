@@ -94,7 +94,11 @@ def _invert_permutation(sa: jax.Array, values: jax.Array) -> jax.Array:
     return out
 
 
-def _doubling_core(words, h0: int, index_dtype) -> jax.Array:
+TRAJ_SLOTS = 24  # >= max quadrupling rounds for any 2^31-byte corpus
+
+
+def _doubling_core(words, h0: int, index_dtype,
+                   with_stats: bool = False) -> jax.Array:
     """The doubling engine given initial key words ordering suffixes by
     their first ``h0`` characters. Shared by the byte path (9-bit packed
     words) and the alphabet-adaptive dense-coded path (fewer bits/char,
@@ -104,6 +108,11 @@ def _doubling_core(words, h0: int, index_dtype) -> jax.Array:
     contiguous dynamic slice (not a gather), the sorted key columns come
     out of the sort itself (no re-gather), and the rank inverse-permute is
     a key-sort (no scatter).
+
+    ``with_stats=True`` (the metrics surface, utils/metrics.py) carries a
+    TRAJ_SLOTS-vector of per-round tie masses plus the round counter and
+    returns (sa, k_final, tie_trajectory, n_rounds) — a separate compile,
+    paid only when stats are requested.
     """
     n = words[0].shape[0]
     init_words = len(words)
@@ -116,6 +125,12 @@ def _doubling_core(words, h0: int, index_dtype) -> jax.Array:
     # unstable sorting measured 15.8 -> 12.3 ms/4M on 3-operand sorts.
     # jax.named_scope per phase: device traces (utils/profiling.
     # device_trace) attribute time to the P1..P6 passes in xprof.
+    def mass_of(diff_bool):
+        flag = jnp.concatenate([jnp.ones((1,), bool), diff_bool])
+        nxt = jnp.concatenate([diff_bool, jnp.ones((1,), bool)])
+        singles = jnp.sum((flag & nxt).astype(index_dtype))
+        return jnp.asarray(n, index_dtype) - singles
+
     with jax.named_scope("P1_initial_sort"):
         sorted_ops = jax.lax.sort(tuple(words) + (idx,), num_keys=init_words,
                                   is_stable=False)
@@ -132,9 +147,12 @@ def _doubling_core(words, h0: int, index_dtype) -> jax.Array:
         rank = jax.lax.cond(
             done0, lambda: dense0, lambda: _invert_permutation(sa0, dense0)
         )
+    traj0 = jnp.zeros((TRAJ_SLOTS,), index_dtype)
+    if with_stats:
+        traj0 = traj0.at[0].set(mass_of(diff0))
 
     def cond(state):
-        _, _, k, done = state
+        _, _, k, done = state[:4]
         return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
 
     def body(state):
@@ -143,7 +161,7 @@ def _doubling_core(words, h0: int, index_dtype) -> jax.Array:
         # 4k chars — log4 rounds instead of log2, for ~1.4x the per-round
         # sort cost (net win). Shifted ranks are contiguous slices of
         # [rank | -1...] (clamped; shift >= n => all -1).
-        rank, _, k, _ = state
+        rank, _, k, _ = state[:4]
         with jax.named_scope("P3_shift_ranks"):
             rank_ext = jnp.concatenate([rank, neg])
 
@@ -174,12 +192,21 @@ def _doubling_core(words, h0: int, index_dtype) -> jax.Array:
             new_rank = jax.lax.cond(
                 done, lambda: rank, lambda: _invert_permutation(sa, dense)
             )
-        return (new_rank, sa, k * 4, done)
+        if not with_stats:
+            return (new_rank, sa, k * 4, done)
+        _, _, _, _, traj, r = state
+        return (new_rank, sa, k * 4, done,
+                traj.at[r].set(mass_of(diff)), r + 1)
 
-    _, sa, _, _ = jax.lax.while_loop(
-        cond, body, (rank, sa0, jnp.asarray(h0, index_dtype), done0)
-    )
-    return sa
+    if not with_stats:
+        _, sa, _, _ = jax.lax.while_loop(
+            cond, body, (rank, sa0, jnp.asarray(h0, index_dtype), done0)
+        )
+        return sa
+    _, sa, k, _, traj, r = jax.lax.while_loop(
+        cond, body, (rank, sa0, jnp.asarray(h0, index_dtype), done0,
+                     traj0, jnp.asarray(1, index_dtype)))
+    return sa, k, traj, r - 1
 
 
 # ---------------------------------------------------------------------------
@@ -395,25 +422,41 @@ def _final_sa(rank):
     return sa
 
 
-def _two_phase_build(phase1_state, n_pad: int) -> jax.Array:
-    """Host driver: finish a phase-1 state to the full SA."""
-    _, sa_sorted, dense_sorted, k, done, _ = phase1_state
+def _two_phase_build(phase1_state, n_pad: int, stats=None) -> jax.Array:
+    """Host driver: finish a phase-1 state to the full SA.
+
+    ``stats`` (optional dict, the metrics surface): receives the
+    phase-1 stop state and the compacted phase-2 round count — the
+    numbers this engine's routing rationale is argued from."""
+    _, sa_sorted, dense_sorted, k, done, p1_mass = phase1_state
+    if stats is not None:
+        stats["h_phase1"] = int(k)
+        stats["tie_mass_at_switch"] = int(p1_mass)
+        stats["phase2_rounds"] = 0
     if bool(done):
         return sa_sorted
     rank, tied_idx_full, mass = _to_positional(dense_sorted, sa_sorted)
     m_pad = min(bucket_size(max(int(mass), 1), minimum=256), n_pad)
     tied_idx = tied_idx_full[:m_pad]
+    rounds = 0
     while True:
         rank, k, done = _phase2_round(rank, tied_idx, k, m_pad)
+        rounds += 1
         if bool(done) or int(k) >= 2 * n_pad:
             break
+    if stats is not None:
+        stats["phase2_rounds"] = rounds
+        stats["m_pad"] = m_pad
+        stats["h_final"] = int(k)
     return _final_sa(rank)
 
 
-@functools.partial(jax.jit, static_argnames=("init_words", "index_dtype"))
+@functools.partial(jax.jit, static_argnames=("init_words", "index_dtype",
+                                             "with_stats"))
 def _suffix_array_padded(text: jax.Array,
                          init_words: int = INIT_WORDS,
-                         index_dtype=jnp.int32) -> jax.Array:
+                         index_dtype=jnp.int32,
+                         with_stats: bool = False) -> jax.Array:
     """Suffix array of a PAD-padded int32 text (static length).
 
     Returns the full permutation of [0, n_pad); suffixes that start inside
@@ -428,13 +471,16 @@ def _suffix_array_padded(text: jax.Array,
     # Initial round: order by 3*init_words packed bytes, so the
     # quadrupling rounds start at h=3*init_words.
     words = _initial_words(text, init_words)
-    return _doubling_core(tuple(words), 3 * init_words, index_dtype)
+    return _doubling_core(tuple(words), 3 * init_words, index_dtype,
+                          with_stats=with_stats)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_words", "bits", "cpw", "index_dtype"))
+                   static_argnames=("n_words", "bits", "cpw", "index_dtype",
+                                    "with_stats"))
 def _suffix_array_packed(codes: jax.Array, n_words: int, bits: int,
-                         cpw: int, index_dtype=jnp.int32) -> jax.Array:
+                         cpw: int, index_dtype=jnp.int32,
+                         with_stats: bool = False) -> jax.Array:
     """Doubling over dense-coded initial words: ``codes`` holds
     order-preserving alphabet codes in [1, sigma] (0 = padding/past-end),
     each initial word packs ``cpw`` codes of ``bits`` bits, so the first
@@ -445,7 +491,8 @@ def _suffix_array_packed(codes: jax.Array, n_words: int, bits: int,
     are order-isomorphic to bytes and 0 is the sentinel, exactly the
     PAD rule of the byte path."""
     words = _packed_words(codes, n_words, bits, cpw)
-    return _doubling_core(tuple(words), n_words * cpw, index_dtype)
+    return _doubling_core(tuple(words), n_words * cpw, index_dtype,
+                          with_stats=with_stats)
 
 
 # Alphabet-adaptive packing applies from this size up: the 100 KB-class
@@ -783,10 +830,17 @@ def _periodic_dispatch(arr: np.ndarray, q: int, n_pad: int, index_dtype):
     return dispatch, f"periodic(q={q})"
 
 
-def device_build_closure(arr: np.ndarray, n_pad: int, index_dtype=jnp.int32):
+def device_build_closure(arr: np.ndarray, n_pad: int, index_dtype=jnp.int32,
+                         stats=None):
     """(dispatch, label): the production device build for this corpus —
     stages the input once and returns a re-dispatchable closure (what
-    suffix_array_bytes runs, and what the benchmarks time)."""
+    suffix_array_bytes runs, and what the benchmarks time).
+
+    ``stats`` (optional dict, the metrics surface — utils/metrics.py):
+    filled with routing facts at closure time and with per-run engine
+    internals (rounds, h_final, tie-mass trajectory) on each dispatch;
+    the instrumented engine variants are separate compiles, so the
+    un-instrumented hot path is untouched."""
     n = int(arr.shape[0])
     lcp_lb = None
     if n_pad >= ADAPTIVE_PACK_MIN:
@@ -798,6 +852,9 @@ def device_build_closure(arr: np.ndarray, n_pad: int, index_dtype=jnp.int32):
             # closed-form derivation above).
             if (cnt0 == 0 and p0 <= PERIODIC_MAX_PERIOD
                     and n // p0 >= PERIODIC_MIN_TILES):
+                if stats is not None:
+                    stats.update(engine_family="periodic", period=p0,
+                                 defects=0)
                 return _periodic_dispatch(arr, p0, n_pad, index_dtype)
         if best is not None:
             pb, cntb, _, defb = best
@@ -808,7 +865,7 @@ def device_build_closure(arr: np.ndarray, n_pad: int, index_dtype=jnp.int32):
                 # Nearly periodic (sparse verified defects): the
                 # phase-pure closed-form engine (ops/patched.py).
                 disp = patched.patched_dispatch(arr, pb, defb, n_pad,
-                                                index_dtype)
+                                                index_dtype, stats=stats)
                 if disp is not None:
                     return disp
     plan, sigma, repeat_hit = (
@@ -818,6 +875,21 @@ def device_build_closure(arr: np.ndarray, n_pad: int, index_dtype=jnp.int32):
         TWO_PHASE_FORCE or plan is None
         or (sigma >= TWO_PHASE_SIGMA_MIN and not repeat_hit))
     m_cap = n_pad // TIE_CAP_FRAC
+    if stats is not None:
+        stats.update(engine_family="two_phase" if two_phase else "classic",
+                     sigma=sigma, repeat_hit=bool(repeat_hit))
+
+    def _classic_stats(run):
+        sa, k, traj, r = run()
+        rounds = int(r)
+        # carried k is multiplied after each round, so it IS the final
+        # character coverage (h0 * 4^rounds); traj[0] holds the
+        # post-initial-sort tie mass, traj[1..rounds] the per-round one.
+        stats.update(rounds=rounds, h_final=int(k),
+                     tie_trajectory=[int(x) for x in
+                                     np.asarray(traj)[:rounds + 1]])
+        return sa
+
     if plan is not None:
         # Alphabet-adaptive dense coding: small alphabets pack enough
         # characters into the initial words to clear the expected max
@@ -827,10 +899,17 @@ def device_build_closure(arr: np.ndarray, n_pad: int, index_dtype=jnp.int32):
         codes[:n] = lut[arr]
         c_dev = jnp.asarray(codes)
         label = f"adaptive({bits}b x {cpw * n_words}ch)"
+        if stats is not None:
+            stats.update(h0=cpw * n_words)
         if two_phase:
             return (lambda: _two_phase_build(
                 _phase1_packed(c_dev, n_words, bits, cpw, index_dtype,
-                               m_cap), n_pad), label + "+2phase")
+                               m_cap), n_pad, stats=stats),
+                label + "+2phase")
+        if stats is not None:
+            return (lambda: _classic_stats(lambda: _suffix_array_packed(
+                c_dev, n_words, bits, cpw, index_dtype=index_dtype,
+                with_stats=True)), label)
         return (lambda: _suffix_array_packed(c_dev, n_words, bits, cpw,
                                              index_dtype=index_dtype),
                 label)
@@ -843,10 +922,16 @@ def device_build_closure(arr: np.ndarray, n_pad: int, index_dtype=jnp.int32):
     t_dev = jnp.asarray(padded)
     iw = pick_init_words(n_pad)
     label = f"ladder({iw}w)"
+    if stats is not None:
+        stats.update(h0=3 * iw)
     if two_phase:
         return (lambda: _two_phase_build(
-            _phase1_padded(t_dev, iw, index_dtype, m_cap), n_pad),
-            label + "+2phase")
+            _phase1_padded(t_dev, iw, index_dtype, m_cap), n_pad,
+            stats=stats), label + "+2phase")
+    if stats is not None:
+        return (lambda: _classic_stats(lambda: _suffix_array_padded(
+            t_dev, init_words=iw, index_dtype=index_dtype,
+            with_stats=True)), label)
     return (lambda: _suffix_array_padded(t_dev, init_words=iw,
                                          index_dtype=index_dtype), label)
 

@@ -87,16 +87,29 @@ class SuffixTable:
         self._init_lock = threading.RLock()  # guards the lazy device state
         # Per-instance routing (class attributes are the defaults):
         # assigning one table's route must not re-route every table.
-        self._query_route = SuffixTable._QUERY_ROUTE_DEFAULT
+        # type(self) so a subclass can override the default by setting
+        # _QUERY_ROUTE_DEFAULT (query_route itself is a property — do
+        # not assign it at class level).
+        self._query_route = type(self)._QUERY_ROUTE_DEFAULT
         self.HOST_QUERY_MAX = type(self).HOST_QUERY_MAX
         self._route1_cache = None  # (query_route, decision) memo
+        # Structured build metrics (utils/metrics.py schema), populated
+        # by `new(..., collect_stats=True)` or by load_index for indexes
+        # saved with stats.
+        self.build_stats = None
 
     # ----------------------------------------------------------------- build
 
     @classmethod
     def new(cls, text, engine: str = "device",
-            padding: str = "pow2", index_dtype: str = "u32") -> "SuffixTable":
+            padding: str = "pow2", index_dtype: str = "u32",
+            collect_stats: bool = False) -> "SuffixTable":
         """Build the suffix table (reference: src/table.rs:78-85).
+
+        ``collect_stats=True`` builds through the instrumented metrics
+        surface (utils/metrics.py) and attaches the structured stats
+        dict as ``table.build_stats`` (engine label, rounds, tie-mass
+        trajectory, bytes/s, ...).
 
         Engines (all produce the identical, unique suffix array):
 
@@ -126,6 +139,15 @@ class SuffixTable:
             # suffix_array_bytes(index_dtype="u64") directly.
             raise ValueError("text is too large (max 2^32 - 1 bytes); use "
                              "suffix_array_bytes(index_dtype='u64')")
+        if collect_stats:
+            from suffix_tpu.utils.metrics import build_stats
+
+            table, stats = build_stats(raw, engine=engine,
+                                       index_dtype=index_dtype,
+                                       padding=padding)
+            st = cls(raw, table.astype(np.uint32), _was_str=was_str)
+            st.build_stats = stats
+            return st
         if engine == "device":
             table = prefix_doubling.suffix_array_bytes(
                 raw, padding=padding, index_dtype=index_dtype)

@@ -16,7 +16,8 @@ FORMAT_VERSION = 1
 
 
 def save_index(path: str, st, *, lcp: np.ndarray | None = None,
-               doc_starts: np.ndarray | None = None) -> None:
+               doc_starts: np.ndarray | None = None,
+               build_stats: dict | None = None) -> None:
     payload = {
         "format_version": np.int64(FORMAT_VERSION),
         "text": np.frombuffer(st.text_bytes(), dtype=np.uint8),
@@ -27,6 +28,13 @@ def save_index(path: str, st, *, lcp: np.ndarray | None = None,
         payload["lcp"] = np.asarray(lcp, dtype=np.uint32)
     if doc_starts is not None:
         payload["doc_starts"] = np.asarray(doc_starts, dtype=np.int64)
+    if build_stats is not None:
+        # Stored as one JSON line (utils/metrics.py schema) so `info`
+        # can replay how a deployed index was built.
+        from suffix_tpu.utils.metrics import stats_json
+
+        payload["build_stats"] = np.frombuffer(
+            stats_json(build_stats).encode("utf-8"), dtype=np.uint8)
     # Atomic: never leave a half-written index (np.savez appends .npz to
     # bare names, so the temp name keeps the suffix).
     import os
@@ -47,4 +55,11 @@ def load_index(path: str):
         text = z["text"].tobytes()
         table = z["table"]
         was_str = bool(z["was_str"])
-    return SuffixTable(text, table, _was_str=was_str)
+        stats = (z["build_stats"].tobytes().decode("utf-8")
+                 if "build_stats" in z else None)
+    st = SuffixTable(text, table, _was_str=was_str)
+    if stats is not None:
+        import json
+
+        st.build_stats = json.loads(stats)
+    return st

@@ -85,3 +85,109 @@ def test_build_programs_carry_named_scopes():
     for name in ["S1_classify_buckets", "S2_L_phase_round",
                  "S3_S_phase_round"]:
         assert name in txt3, name
+
+
+# --------------------------------------------------------------- metrics
+
+def _near_periodic_corpus():
+    import numpy as np
+
+    block = bytes(np.random.default_rng(9).integers(97, 123, 257,
+                                                    dtype=np.uint8))
+    arr = np.tile(np.frombuffer(block, np.uint8), 700)[: 1 << 17].copy()
+    arr[70000] ^= 1
+    return arr
+
+
+def test_build_stats_schema():
+    import numpy as np
+
+    from suffix_tpu.utils.metrics import (REQUIRED_KEYS, build_stats,
+                                          stats_json)
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(65, 91, 4096, dtype=np.uint8).tobytes()
+    sa, stats = build_stats(data)
+    for key in REQUIRED_KEYS:
+        assert key in stats, key
+    assert stats["engine_family"] in ("classic", "two_phase")
+    assert stats["n_bytes"] == 4096
+    assert stats["bytes_per_s"] > 0
+    # rounds + trajectory come from the instrumented classic engine
+    assert stats["rounds"] >= 0
+    assert len(stats["tie_trajectory"]) == stats["rounds"] + 1
+    # the SA itself must still be exact
+    from suffix_tpu.ops.naive import naive_table
+
+    assert np.array_equal(sa, naive_table(data))
+    # JSON-stable: one line, round-trips
+    import json
+
+    assert json.loads(stats_json(stats)) == json.loads(stats_json(stats))
+
+
+def test_build_stats_patched_engine():
+    import numpy as np
+
+    from suffix_tpu.utils.metrics import build_stats
+
+    arr = _near_periodic_corpus()
+    sa, stats = build_stats(arr.tobytes())
+    assert stats["engine_family"] == "patched"
+    assert stats["period"] == 257
+    assert stats["defects"] >= 1
+    assert stats["closed_form"] is True
+    assert stats["engine"].startswith("patched(")
+    from suffix_tpu.ops.naive import naive_table
+
+    assert np.array_equal(sa, naive_table(arr.tobytes()))
+
+
+def test_build_stats_two_phase_fields():
+    import numpy as np
+
+    from suffix_tpu.ops import prefix_doubling as pd
+    from suffix_tpu.utils.metrics import build_stats
+
+    rng = np.random.default_rng(3)
+    # text-class corpus: large sigma routes through two-phase when big
+    # enough; force the route at test scale.
+    data = rng.integers(32, 127, 1 << 17, dtype=np.uint8).tobytes()
+    old = pd.TWO_PHASE_MIN
+    pd.TWO_PHASE_MIN = 1 << 16
+    try:
+        sa, stats = build_stats(data)
+    finally:
+        pd.TWO_PHASE_MIN = old
+    assert stats["engine_family"] == "two_phase"
+    assert "tie_mass_at_switch" in stats
+    assert stats["phase2_rounds"] >= 0
+
+
+def test_build_stats_native_and_sais():
+    from suffix_tpu.utils.metrics import build_stats
+
+    sa_n, st_n = build_stats(b"mississippi" * 30, engine="native")
+    assert st_n["engine_family"] == "native"
+    sa_s, st_s = build_stats(b"mississippi" * 30, engine="sais")
+    assert st_s["engine_family"] == "sais"
+    assert st_s["recursion_depth"] >= 0
+    import numpy as np
+
+    assert np.array_equal(sa_n, sa_s)
+
+
+def test_collect_stats_table_and_checkpoint(tmp_path):
+    import numpy as np
+
+    from suffix_tpu import SuffixTable
+    from suffix_tpu.utils.checkpoint import load_index, save_index
+
+    st = SuffixTable.new(b"abracadabra" * 50, engine="native",
+                         collect_stats=True)
+    assert st.build_stats["engine"] == "native-sais"
+    p = str(tmp_path / "idx.npz")
+    save_index(p, st, build_stats=st.build_stats)
+    st2 = load_index(p)
+    assert st2.build_stats["engine"] == "native-sais"
+    assert np.array_equal(st2.table(), st.table())
