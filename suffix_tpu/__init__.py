@@ -25,7 +25,9 @@ capabilities as the Rust crate BurntSushi/suffix (reference: /root/reference):
 from suffix_tpu.table import SuffixTable
 from suffix_tpu.multidoc import MultiDocIndex
 from suffix_tpu.tree.stree import SuffixTree
+from suffix_tpu.tree.atree import ArraySuffixTree
 
 __version__ = "0.1.0"
 
-__all__ = ["SuffixTable", "MultiDocIndex", "SuffixTree", "__version__"]
+__all__ = ["SuffixTable", "MultiDocIndex", "SuffixTree",
+           "ArraySuffixTree", "__version__"]

@@ -73,11 +73,16 @@ def _cmd_build(args) -> int:
 
 
 def _cmd_stree(args) -> int:
-    from suffix_tpu import SuffixTree
     from suffix_tpu.tree.dot import to_dot
 
     text = " ".join(args.text)
-    sys.stdout.write(to_dot(SuffixTree.new(text)))
+    if getattr(args, "array", False):
+        # Array-native derivation (tree/atree.py): same dot output,
+        # built as flat device arrays instead of the pointer fold.
+        from suffix_tpu import ArraySuffixTree as Tree
+    else:
+        from suffix_tpu import SuffixTree as Tree
+    sys.stdout.write(to_dot(Tree.new(text)))
     return 0
 
 
@@ -252,6 +257,8 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("stree", help="print a suffix tree as GraphViz dot")
     s.add_argument("text", nargs="*")
+    s.add_argument("--array", action="store_true",
+                   help="build via the array-native device derivation")
     s.set_defaults(fn=_cmd_stree)
 
     q = sub.add_parser("search", help="batched substring search")
