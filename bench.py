@@ -371,26 +371,44 @@ def main() -> None:
         lcp_txt = lcp_ops.lcp_from_sa(txt, sa_np)
         detail["lcp_128MiB_text_s"] = round(time.perf_counter() - t0, 2)
         del sa_np, lcp_txt
-        # 10k mixed-length query battery.
-        _, fence_t, blk_t, _ = search_ops.build_query_index(
-            t_txt, sa_txt32, jnp.int32(n_txt), with_keys=False)
-        sync(fence_t)
+        # Mixed-length query battery on the DEEP keyless index (what
+        # SuffixTable._ensure_device builds at this size): sorted-
+        # gather fences/block + the 6-word ext tier, long lanes
+        # compacted before any refine gather (round5_study deep).
+        t0 = time.perf_counter()
+        fence_t, blk_t, ext_t = search_ops.build_query_index_keyless(
+            t_txt, sa_txt32, jnp.int32(n_txt),
+            key_words=search_ops.DEEP_FENCE_WORDS,
+            ext_words=search_ops.DEEP_EXT_WORDS)
+        sync(ext_t)
+        detail["query_index_128MiB_build_s"] = round(
+            time.perf_counter() - t0, 2)
+        deep_syms = 3 * search_ops.DEEP_FENCE_WORDS
+        cov = deep_syms + 3 * search_ops.DEEP_EXT_WORDS
         rngq = np.random.default_rng(0xBEEF)
-        lens_q = rngq.choice([4, 8, 14, 24, 40], size=16384,
-                             p=[.25, .25, .25, .15, .10])
-        starts_q = rngq.integers(0, n_txt - 64, size=16384)
-        qtxt = np.zeros((16384, 64), np.int32)
-        for i, (s, l) in enumerate(zip(starts_q, lens_q)):
-            qtxt[i, :l] = txt[s:s + l]
-        args_t = (t_txt, jnp.int32(n_txt), sa_txt32, jnp.int32(n_txt),
-                  fence_t, blk_t, jnp.asarray(qtxt),
-                  jnp.asarray(lens_q.astype(np.int32)),
-                  (n_txt + 1).bit_length(), 64)
-        sync(search_ops.bounds_batch_merge(*args_t))
-        dt_qt = _throughput_time(
-            lambda: search_ops.bounds_batch_merge(*args_t), sync, n_iter=4)
-        detail["queries_per_s_128MiB_text_mixed"] = round(16384 / dt_qt, 0)
-        del t_txt, sa_txt, sa_txt32, fence_t, blk_t, args_t
+        for nq_t in (16384, 131072):
+            lens_q = rngq.choice([4, 8, 14, 24, 40], size=nq_t,
+                                 p=[.25, .25, .25, .15, .10])
+            starts_q = rngq.integers(0, n_txt - 64, size=nq_t)
+            qtxt = np.zeros((nq_t, 64), np.int32)
+            for i, (s, l) in enumerate(zip(starts_q, lens_q)):
+                qtxt[i, :l] = txt[s:s + l]
+            n_long = int((lens_q > deep_syms).sum())
+            n_deep = int((lens_q > cov).sum())
+            B = min(nq_t, int(bucket_size(max(n_long, 1), minimum=8)))
+            B2 = (min(B, int(bucket_size(max(n_deep, 1), minimum=8)))
+                  if n_deep else 0)
+            args_t = (t_txt, jnp.int32(n_txt), sa_txt32, jnp.int32(n_txt),
+                      fence_t, blk_t, ext_t, jnp.asarray(qtxt),
+                      jnp.asarray(lens_q.astype(np.int32)), 64, B, B2)
+            sync(search_ops.bounds_batch_merge_deep(*args_t))
+            dt_qt = _throughput_time(
+                lambda: search_ops.bounds_batch_merge_deep(*args_t), sync,
+                n_iter=4)
+            key = ("queries_per_s_128MiB_text_mixed" if nq_t == 16384
+                   else "queries_per_s_128MiB_text_mixed_131k")
+            detail[key] = round(nq_t / dt_qt, 0)
+        del t_txt, sa_txt, sa_txt32, fence_t, blk_t, ext_t, args_t
     except Exception as e:
         detail["text_128MiB"] = f"unavailable: {e}"
 

@@ -314,6 +314,128 @@ def main():
                       check_parity=True)
         return
 
+    if section == "deep":
+        # Round-5 deep keyless engine on the 128 MiB corpus: sorted-
+        # gather index build + ext tier + compacted long-lane refine.
+        from suffix_tpu.ops import search2 as s2
+        from suffix_tpu.ops.padding import bucket_size
+        from suffix_tpu.ops.prefix_doubling import device_build_closure
+
+        n_txt = 1 << 27
+        txt = _corpus_128(n_txt)
+        build, label = device_build_closure(txt, n_txt)
+        sa = build()
+        sync(sa)
+        sa32 = sa.astype(jnp.int32)
+        t_dev = jnp.asarray(txt.astype(np.int32))
+        sync(t_dev)
+        t0 = time.perf_counter()
+        fences, blk, ext = s2.build_query_index_keyless(
+            t_dev, sa32, jnp.int32(n_txt),
+            key_words=s2.DEEP_FENCE_WORDS,
+            ext_words=s2.DEEP_EXT_WORDS)
+        sync(ext)
+        print(f"keyless+ext sorted build: {time.perf_counter()-t0:.2f}s",
+              flush=True)
+        deep_syms = 3 * s2.DEEP_FENCE_WORDS
+        cov = deep_syms + 3 * s2.DEEP_EXT_WORDS
+
+        rngq = np.random.default_rng(0xBEEF)
+        for nq in (16384, 131072):
+            lens_q = rngq.choice([4, 8, 14, 24, 40], size=nq,
+                                 p=[.25, .25, .25, .15, .10])
+            starts_q = rngq.integers(0, n_txt - 64, size=nq)
+            qtxt = np.zeros((nq, 64), np.int32)
+            for i, (s, l) in enumerate(zip(starts_q, lens_q)):
+                qtxt[i, :l] = txt[s:s + l]
+            q_dev = jnp.asarray(qtxt)
+            ql_dev = jnp.asarray(lens_q.astype(np.int32))
+            n_long = int((lens_q > deep_syms).sum())
+            n_deep = int((lens_q > cov).sum())
+            B = min(nq, int(bucket_size(max(n_long, 1), minimum=8)))
+            B2 = (min(B, int(bucket_size(max(n_deep, 1), minimum=8)))
+                  if n_deep else 0)
+
+            def deep():
+                return s2.bounds_batch_merge_deep(
+                    t_dev, jnp.int32(n_txt), sa32, jnp.int32(n_txt),
+                    fences, blk, ext, q_dev, ql_dev, 64, B, B2)
+
+            sync(deep()[0])
+            dt = amortized(lambda: deep()[0], sync, n_iter=4)
+            print(f"DEEP battery {nq} (B={B}, B2={B2}): {dt*1e3:.1f} ms -> "
+                  f"{nq/dt:.0f} q/s", flush=True)
+            # spot parity vs the old full path on the first battery
+            if nq == 16384:
+                s_d, c_d = deep()
+                old = s2.bounds_batch_merge(
+                    t_dev, jnp.int32(n_txt), sa32, jnp.int32(n_txt),
+                    fences, blk, q_dev, ql_dev,
+                    (n_txt + 1).bit_length(), 64)
+                ok = (np.array_equal(np.asarray(s_d), np.asarray(old[0]))
+                      and np.array_equal(np.asarray(c_d),
+                                         np.asarray(old[1])))
+                print(f"parity deep vs old refine: {ok}", flush=True)
+            # short-only throughput at this batch size
+            ql_s = jnp.asarray(np.minimum(lens_q, 18).astype(np.int32))
+            q_s = jnp.asarray(qtxt[:, :18])
+
+            def short():
+                return s2.bounds_batch_merge(
+                    t_dev, jnp.int32(n_txt), sa32, jnp.int32(n_txt),
+                    fences, blk, q_s, ql_s,
+                    (n_txt + 1).bit_length(), 18)
+
+            sync(short()[0])
+            dt_s = amortized(lambda: short()[0], sync, n_iter=4)
+            print(f"  short-only {nq}: {dt_s*1e3:.1f} ms -> "
+                  f"{nq/dt_s:.0f} q/s", flush=True)
+        return
+
+    if section in ("lcpbulk16", "lcpbulk128"):
+        # Round-5 packed bulk ladder vs host Kasai on survivor-dense
+        # text (the VERDICT r4 missing #2 deliverable).
+        from suffix_tpu.ops import lcp as lcp_ops
+        from suffix_tpu.ops import search2 as s2
+        from suffix_tpu.ops.padding import PAD, bucket_size
+        from suffix_tpu.ops.prefix_doubling import device_build_closure
+
+        n_txt = 1 << (24 if section == "lcpbulk16" else 27)
+        txt = _corpus_128(n_txt)
+        build, label = device_build_closure(txt, n_txt)
+        sa = build()
+        sync(sa)
+        sa32 = sa.astype(jnp.int32)
+        sa_np = np.asarray(sa32)[:n_txt].astype(np.uint32)
+        t_pad = np.full((bucket_size(n_txt),), PAD, np.int32)
+        t_pad[:n_txt] = txt
+        t_dev = jnp.asarray(t_pad)
+        sync(t_dev)
+        t0 = time.perf_counter()
+        pk = s2.packed_keys_rank_order(t_dev, sa32, n_txt)
+        sync(pk[0])
+        print(f"sorted pk build: {time.perf_counter()-t0:.2f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        res = lcp_ops._lcp_bulk(t_dev, n_txt, sa32, tuple(pk),
+                                verbose=True)
+        dt_bulk = time.perf_counter() - t0
+        print(f"packed bulk ladder: {dt_bulk:.2f}s "
+              f"({'ok' if res is not None else 'BUDGET-EXHAUSTED'})",
+              flush=True)
+        t0 = time.perf_counter()
+        ref = lcp_ops._kasai_route(txt, sa_np)
+        print(f"host kasai: {time.perf_counter()-t0:.2f}s", flush=True)
+        if res is not None:
+            print(f"parity: {np.array_equal(res, ref)}", flush=True)
+        # end-to-end public route (includes pk build + census)
+        t0 = time.perf_counter()
+        out = lcp_ops.lcp_from_sa(txt, sa_np)
+        print(f"lcp_from_sa(auto) end-to-end: "
+              f"{time.perf_counter()-t0:.2f}s parity="
+              f"{np.array_equal(out, ref)}", flush=True)
+        return
+
     if section == "battery":
         from suffix_tpu.ops import search2 as s2
         from suffix_tpu.ops.padding import PAD, bucket_size

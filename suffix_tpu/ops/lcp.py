@@ -396,13 +396,103 @@ def _bulk_finish(lcp_perm, perm, n_table):
     return jnp.where(valid, lcp, 0)
 
 
-# Geometric window ladder for the bulk refine: each stage extends the
-# still-active lanes by one window of the given width, then the actives
-# re-compact before the next (wider) stage — total bytes fetched stay
-# within a small constant of sum(LCP) instead of max_width * lanes (a
-# fixed 2 KiB window measured 83 s at 128 MiB text where the ladder's
-# information floor is ~2 s). The last stage loops until the budget.
-LCP_BULK_LADDER = (128, 512, 2048)
+# ---------------------------------------------------------------------------
+# Packed-window refine stage.
+#
+# Round-5 measurement (scripts/round5_study.py gather): random element
+# gathers run at ~70M el/s on v5e regardless of window shape — a
+# 128-byte window fetched bytewise costs 128 slow elements to advance
+# 128 bytes, and the aligned-row trick (2x128-element rows) costs 256
+# elements at row rate. Packing THREE 9-bit symbols per int32 (the
+# packed-key encoding) moves 3 bytes per gathered element, so a
+# 15-symbol window costs 7 elements instead of 15-256: the shallow
+# refinement tiers (where the survivor mass is) become ~5x cheaper per
+# matched byte. Deep lanes (multi-KiB boilerplate LCPs) still switch to
+# the row-DMA stage where the row rate (~2.4G el/s) wins.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _text_words3(text: jax.Array) -> jax.Array:
+    """9-bit-symbol packing of the padded text, 3 symbols per int32
+    (symbol = byte + 1; PAD and past-the-end pack as 0)."""
+    n_pad = text.shape[0]
+    sym = jnp.where(text >= 0, text + 1, 0).astype(jnp.int32)
+    n_w = n_pad // 3 + 2
+    pad = jnp.zeros((3 * n_w - n_pad,), jnp.int32)
+    s = jnp.concatenate([sym, pad])
+    return (s[0::3][:n_w] << 18) | (s[1::3][:n_w] << 9) | s[2::3][:n_w]
+
+
+def _packed_window(tw: jax.Array, base: jax.Array, S: int) -> jax.Array:
+    """(lanes, S) symbol windows starting at byte offset ``base`` —
+    ceil(S/3)+1 element gathers per lane plus register shifts."""
+    K = S // 3 + 2
+    q = base // 3
+    r = base % 3
+    w = jnp.take(tw, q[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
+                 mode="clip")
+    j = jnp.arange(S, dtype=jnp.int32)[None, :] + r[:, None]
+    word = jnp.take_along_axis(w, j // 3, axis=1)
+    sh = 18 - 9 * (j % 3)
+    return (word >> sh) & 0x1FF
+
+
+@functools.partial(jax.jit, static_argnames=("s_pad", "S", "row_block",
+                                             "max_rounds"))
+def _bulk_refine_packed(tw, n_text, a, b, lcp, flag, s_pad: int, S: int,
+                        row_block: int, max_rounds: int):
+    """Packed-symbol analogue of _bulk_refine_prefix: extend the first
+    ``s_pad`` lanes by S-symbol packed compares per round."""
+    assert s_pad % row_block == 0, (s_pad, row_block)
+    n_blocks = s_pad // row_block
+    offs = jnp.arange(S, dtype=jnp.int32)
+    # Symbol 0 = past-the-end on both sides would spuriously match;
+    # the in-bounds masks below supply the boundary mismatch instead.
+
+    def do_block(i, carry):
+        lcp, flag = carry
+        st = i * row_block
+        ba = jax.lax.dynamic_slice(a, (st,), (row_block,))
+        bb = jax.lax.dynamic_slice(b, (st,), (row_block,))
+        bl = jax.lax.dynamic_slice(lcp, (st,), (row_block,))
+        bf = jax.lax.dynamic_slice(flag, (st,), (row_block,))
+
+        def cond(s):
+            _, f, r = s
+            return jnp.any(f == 1) & (r < max_rounds)
+
+        def body(s):
+            l, f, r = s
+            act = f == 1
+            pa = ba + l
+            pb = bb + l
+            va = _packed_window(tw, pa, S)
+            vb = _packed_window(tw, pb, S)
+            in_a = pa[:, None] + offs[None, :] < n_text
+            in_b = pb[:, None] + offs[None, :] < n_text
+            eq = (va == vb) & in_a & in_b
+            run = jnp.cumprod(eq.astype(jnp.int32), axis=1).sum(axis=1)
+            l = jnp.where(act, l + run, l)
+            f = jnp.where(act & (run == S) & (l < n_text), 1, 0)
+            return l, f, r + 1
+
+        bl, bf, _ = jax.lax.while_loop(cond, body, (bl, bf, jnp.int32(0)))
+        return (jax.lax.dynamic_update_slice(lcp, bl, (st,)),
+                jax.lax.dynamic_update_slice(flag, bf, (st,)))
+
+    lcp, flag = jax.lax.fori_loop(0, n_blocks, do_block, (lcp, flag))
+    n_active = jnp.sum(jax.lax.dynamic_slice(flag, (0,), (s_pad,)))
+    return lcp, flag, n_active
+
+
+# Refine ladder for the bulk engine: (kind, window, rounds) stages with
+# re-compaction between them. Shallow tiers use packed-symbol windows
+# (3 bytes per gathered element — see the measured rationale above);
+# the deep tier keeps the aligned-row DMA windows. Coverage: 18 (keyed
+# base) + 15*6 + 45*8 = 468 B through the packed tiers, then 2 KiB
+# row windows until LCP_BULK_MAX_OFF.
+LCP_BULK_LADDER = (("packed", 15, 6), ("packed", 45, 8), ("rows", 2048, 0))
 
 
 def _lcp_bulk(text_dev, n: int, tab_dev, pk: tuple,
@@ -422,8 +512,9 @@ def _lcp_bulk(text_dev, n: int, tab_dev, pk: tuple,
     if verbose:
         print(f"  [bulk] base+compact: {_time.perf_counter()-t0:.2f}s "
               f"surv={n_act}", flush=True)
+    tw = None
     first = True
-    for stage_i, w in enumerate(LCP_BULK_LADDER):
+    for stage_i, (kind, w, rounds) in enumerate(LCP_BULK_LADDER):
         if n_act == 0:
             break
         t0 = _time.perf_counter()
@@ -434,16 +525,25 @@ def _lcp_bulk(text_dev, n: int, tab_dev, pk: tuple,
             p_a, p_prev, p_lcp, p_flag, perm = _bulk_compact_prefix(
                 p_a, p_prev, p_lcp, p_flag, perm, s_prev)
         s_pad = min(bucket_size(n_act, minimum=256), n_pad)
-        row_block = min(s_pad, max(256, (1 << 23) // w))
         last = stage_i == len(LCP_BULK_LADDER) - 1
-        rounds = (max(1, LCP_BULK_MAX_OFF // w) if last else 1)
-        p_lcp, p_flag, n_left = _bulk_refine_prefix(
-            text_dev, jnp.int32(n), p_a, p_prev, p_lcp, p_flag,
-            s_pad, w, row_block, max_rounds=rounds)
+        if last and rounds == 0:
+            rounds = max(1, LCP_BULK_MAX_OFF // w)
+        if kind == "packed":
+            if tw is None:
+                tw = _text_words3(text_dev)
+            row_block = min(s_pad, max(256, (1 << 22) // w))
+            p_lcp, p_flag, n_left = _bulk_refine_packed(
+                tw, jnp.int32(n), p_a, p_prev, p_lcp, p_flag,
+                s_pad, w, row_block, max_rounds=rounds)
+        else:
+            row_block = min(s_pad, max(256, (1 << 23) // w))
+            p_lcp, p_flag, n_left = _bulk_refine_prefix(
+                text_dev, jnp.int32(n), p_a, p_prev, p_lcp, p_flag,
+                s_pad, w, row_block, max_rounds=rounds)
         prev_act = n_act
         n_act = int(n_left)  # sync point
         if verbose:
-            print(f"  [bulk] w={w} s_pad={s_pad} rounds<={rounds}: "
+            print(f"  [bulk] {kind} w={w} s_pad={s_pad} rounds<={rounds}: "
                   f"{_time.perf_counter()-t0:.2f}s left={n_act}",
                   flush=True)
         first = False
@@ -470,10 +570,11 @@ def _kasai_route(text_bytes: np.ndarray, sa: np.ndarray) -> np.ndarray:
 # Sampled pre-census: above this estimated survivor fraction the corpus
 # is clearly survivor-dense (the Kasai route wins by the measured
 # routing table) and the device staging + exact census are skipped
-# entirely. 2x the bulk bound (1/64) so borderline corpora still get
-# the exact device census. With 64k samples the binomial CI at the
-# threshold is ~±0.1%, far from flipping a 2/64-vs-1/64 decision.
-LCP_SAMPLE_DENSE_FRAC = 2 / 64
+# entirely. 2x the bulk bound (1/8 since the round-5 packed ladder) so
+# borderline corpora still get the exact device census. With 64k
+# samples the binomial CI at the threshold is ~±0.2%, far from
+# flipping a 2/8-vs-1/8 decision.
+LCP_SAMPLE_DENSE_FRAC = 2 / 8
 LCP_SAMPLE_K = 1 << 16
 
 
@@ -542,10 +643,10 @@ def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
     if pk is None:
         from suffix_tpu.ops import search2
 
-        # stride=1: fences alias the keys and no blocked copy is built —
-        # the LCP refinement only reads the flat keys.
-        pk, _, _, _ = search2.build_query_index(t_dev, tab_dev, jnp.int32(n),
-                                                stride=1)
+        # Flat rank-order keys through the sort unit: the per-word
+        # gather build measured 12.7 s at 128 MiB vs ~2 s for the
+        # 2-sort construction (round5_study gather/battery).
+        pk = search2.packed_keys_rank_order(t_dev, tab_dev, n)
     if method == "auto":
         n_surv = int(_survivor_count(tuple(pk), jnp.int32(n)))
         if n_surv <= LCP_SURV_CHUNKED:
@@ -554,7 +655,11 @@ def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
                                          block=block, max_off=LCP_MAX_OFF)
             if int(unresolved) > 0:
                 return _kasai_route(t_np, sa)
-        elif n_surv <= n // 64:
+        elif n_surv <= n // 8:
+            # Survivor-dense corpora (text-class ~3.5%) now take the
+            # packed bulk ladder: measured FASTER than the host Kasai
+            # at 128 MiB since the round-5 retune (was n//64 when every
+            # window gather cost an element per byte).
             res = _lcp_bulk(t_dev, n, tab_dev, tuple(pk), block=block)
             if res is None:
                 return _kasai_route(t_np, sa)

@@ -62,6 +62,12 @@ from suffix_tpu.ops.padding import PAD, bucket_size
 # host-side signature tables stay trivial.
 PATCH_MIN_TILES = 8
 PATCH_KMAX = 4096
+# Width cap for the rotation-separation lever: phase A may widen the
+# initial packed sort to this many words to reach purity WITHOUT any
+# quadrupling round (each round costs a 5-operand sort plus a scatter
+# — ~60 ms of the 88.7 ms round-5-start build on the 4 MiB fixture,
+# round5_study nearrep — while extra sort operands are far cheaper).
+PATCH_MAX_WORDS = 16
 # Host table work is O(n_intervals * n_classes * |cols|); refuse corpora
 # where that product stops being negligible next to the device build.
 PATCH_TABLE_BUDGET = 1 << 26
@@ -321,6 +327,38 @@ def _patched_padded(text, init_words: int, index_dtype, h0, n, q, bnds,
                          with_stats=with_stats)
 
 
+def _rotation_width(arr: np.ndarray, q: int):
+    """Measured rotation-separation depth: the max LCP between two
+    DIFFERENT rotations of the (defect-bearing) period, computed from
+    the first two tiles' doubled string via the native SA-IS + Kasai
+    (host, ~10 ms at q=100k). An initial packed width beyond this
+    separates every cross-phase pair, so phase A reaches purity at the
+    first sort. Defects elsewhere can stretch individual cross-phase
+    ties a little past this bound — purity is VERIFIED on device, so a
+    miss only costs one quadrupling round, never correctness. None if
+    the native library is unavailable (fall back to the estimate)."""
+    from suffix_tpu import native
+
+    if not native.available() or 2 * q > arr.size:
+        return None
+    pp = np.ascontiguousarray(arr[: 2 * q])
+    sa = np.asarray(native.sais(pp.tobytes()), np.int64)
+    lcp = np.asarray(native.kasai(pp.tobytes(), sa), np.int64)
+    first = np.flatnonzero(sa < q)  # ranks of the q rotation suffixes
+    if first.size < 2:
+        return 0
+    # Max pairwise LCP within the subset = max over consecutive subset
+    # ranks of the range-min of adjacent LCPs between them.
+    starts = first[:-1] + 1
+    mins = np.minimum.reduceat(lcp, starts)
+    # reduceat's segment i spans [starts[i], starts[i+1]) — exactly the
+    # (rank_i, rank_{i+1}] windows — except the last, which runs to the
+    # array end; recompute it over its true window.
+    if first[-1] + 1 > starts[-1]:
+        mins[-1] = lcp[starts[-1]: first[-1] + 1].min()
+    return int(mins.max())
+
+
 def patched_dispatch(arr: np.ndarray, q: int, defects: np.ndarray,
                      n_pad: int, index_dtype=jnp.int32, stats=None):
     """(dispatch, label) build closure for a verified near-periodic
@@ -361,10 +399,17 @@ def patched_dispatch(arr: np.ndarray, q: int, defects: np.ndarray,
 
     # Phase A only needs to separate period ROTATIONS (no corpus-wide
     # repeat to clear): the random-text width estimate, not the
-    # round-minimizing repeat lever (lcp_lb=None).
+    # round-minimizing repeat lever (lcp_lb=None) — then widened to the
+    # MEASURED rotation-separation depth so purity holds at the initial
+    # sort and no quadrupling round (sort + scatter) runs at all.
     plan = pd._adaptive_plan(arr, n_pad, lcp_lb=None)
+    w_rot = _rotation_width(arr, q)
     if plan is not None:
         lut, bits, cpw, n_words = plan
+        if w_rot is not None:
+            want = -(-(w_rot + 12) // cpw)  # slack: defect-local ties
+            if n_words < want <= PATCH_MAX_WORDS:
+                n_words = want
         codes = np.zeros((n_pad,), np.int32)
         codes[:n] = lut[arr]
         c_dev = jnp.asarray(codes)

@@ -338,15 +338,23 @@ def _fence_stride(n_pad: int) -> int:
     return 128
 
 
-def _refine_one(text, n_text, table, query, qlen, start, end):
-    """Byte-level refinement within the prefix-equal range (qlen > 12)."""
+def _refine_one(text, n_text, table, query, qlen, start, end,
+                sufi_off: int = 0):
+    """Byte-level refinement within the prefix-equal range (qlen > 12).
+
+    ``sufi_off`` shifts both sides of the comparison: when the range is
+    already exact through ``sufi_off`` bytes (the deep keyless engine),
+    pass the query TAIL (query[sufi_off:], qlen - sufi_off) and the
+    probes compare suffix(sufi + off) vs that tail — same order, a
+    window-sized slice less gather traffic per probe."""
 
     def lower_step(lr):
         left, right = lr
         active = left < right
         mid = (left + right) // 2
         sufi = jnp.take(table, mid, mode="fill", fill_value=0).astype(jnp.int32)
-        lt, _ = _cmp_suffix_query(text, n_text, sufi, query, qlen)
+        lt, _ = _cmp_suffix_query(text, n_text, sufi + sufi_off, query,
+                                  qlen)
         pred = jnp.logical_not(lt)
         nl = jnp.where(pred, left, mid + 1)
         nr = jnp.where(pred, mid, right)
@@ -357,7 +365,8 @@ def _refine_one(text, n_text, table, query, qlen, start, end):
         active = left < right
         mid = (left + right) // 2
         sufi = jnp.take(table, mid, mode="fill", fill_value=0).astype(jnp.int32)
-        _, gt = _cmp_suffix_query(text, n_text, sufi, query, qlen)
+        _, gt = _cmp_suffix_query(text, n_text, sufi + sufi_off, query,
+                                  qlen)
         nl = jnp.where(gt, left, mid + 1)
         nr = jnp.where(gt, mid, right)
         return jnp.where(active, nl, left), jnp.where(active, nr, right)
@@ -419,6 +428,266 @@ def bounds_batch_merge(text, n_text, table, n_table, pk_fence, pk_block,
         r_start, r_end = jax.vmap(refine)(queries, qlens, rs, re)
         start = jnp.where(long_q, r_start, start)
         end = jnp.where(long_q, r_end, end)
+
+    empty = (qlens == 0) | (n_table == 0)
+    start = jnp.where(empty, 0, start)
+    count = jnp.where(empty, 0, jnp.maximum(end - start, 0))
+    return start, count
+
+
+# ---------------------------------------------------------------------------
+# Sorted-gather key construction + the deep keyless engine.
+#
+# Measured basis (scripts/round5_study.py gather, v5e): random element
+# gathers plateau at ~70M el/s (0.28 GB/s) while a 2^27-row 3-operand
+# sort is 575 ms and a 2^20-row 7-operand sort 10.5 ms — the sort unit
+# moves permutations ~6x faster than the gather unit. Building the six
+# packed key words with per-word `jnp.take(word_text, table)` measured
+# 12.7 s at 128 MiB; routing the same permutation through two sorts
+# (position->isa, then words by isa) takes ~2 s.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _isa_padded(table: jax.Array, n_table: jax.Array) -> jax.Array:
+    """Inverse SA (rank per position) via ONE sort, no scatters.
+
+    Padded rows keep unique past-every-real keys so they land in the
+    tail; the returned array is position-ordered, entries >= n_table
+    are the pad ranks themselves (unique, >= n_table)."""
+    n_pad = table.shape[0]
+    r = jnp.arange(n_pad, dtype=jnp.int32)
+    key = jnp.where(r < n_table, table.astype(jnp.int32), n_pad + r)
+    _, isa = jax.lax.sort((key, r), num_keys=1, is_stable=False)
+    return isa
+
+
+@functools.partial(jax.jit, static_argnames=("w_lo", "w_hi", "key_words"))
+def _words_rank_order(text: jax.Array, isa: jax.Array, n_table: jax.Array,
+                      w_lo: int, w_hi: int, key_words: int):
+    """Packed key words [w_lo, w_hi) in RANK order via one sort.
+
+    The word values are computed by streaming shifts in position order
+    (no gathers) and carried as payloads of a sort by isa — the
+    sorted-gather form of ``word[table[r]]``. Rows past n_table are
+    masked to PAD_KEY."""
+    n_pad = text.shape[0]
+    sym = (text + 1).astype(jnp.int32)
+    sym_ext = jnp.concatenate([sym, jnp.zeros((3 * key_words,), jnp.int32)])
+    words = []
+    for w in range(w_lo, w_hi):
+        s = [sym_ext[k:k + n_pad] for k in range(3 * w, 3 * w + 3)]
+        words.append(_pack3(s[0], s[1], s[2]))
+    out = jax.lax.sort((isa, *words), num_keys=1, is_stable=False)
+    rr = jnp.arange(n_pad, dtype=jnp.int32)
+    mask = rr < n_table
+    return tuple(jnp.where(mask, wv, jnp.int32(PAD_KEY)) for wv in out[1:])
+
+
+def packed_keys_rank_order(text: jax.Array, table: jax.Array, n_table,
+                           key_words: int = KEY_WORDS):
+    """Flat rank-order packed keys (the LCP engines' input) through the
+    sort unit — the drop-in for build_query_index(stride=1)'s key tuple
+    at sizes where per-word gathers dominate."""
+    isa = _isa_padded(table, jnp.int32(n_table))
+    return _words_rank_order(text, isa, jnp.int32(n_table), 0, key_words,
+                             key_words)
+
+
+# Deep keyless index: 8 fence words (24-byte exactness straight from
+# the per-batch fence sort — the 24 B pattern class then never enters
+# the long-lane path at all) + 6 ext block words (coverage 42 B before
+# any byte refine). Measured rationale (round5_study deep, 131k mixed
+# battery): with 6-word fences the ext probe paid 6 gathers/probe over
+# 18-byte-equal ranges (~190 ms) and the un-compacted byte tail
+# dominated at 630 ms; 8-word fences shrink the probe ranges ~30x and
+# 42 B coverage removes the tail for patterns <= 42 B. Blocks cost
+# n_pad * (8+6) * 4 B together — gate to sizes where that plus
+# text+table leaves serving headroom on a 16 GB chip.
+DEEP_FENCE_WORDS = 8
+DEEP_EXT_WORDS = 6
+DEEP_EXT_MAX_PAD = 1 << 27
+
+
+def build_query_index_keyless(text: jax.Array, table: jax.Array, n_table,
+                              key_words: int = KEY_WORDS,
+                              stride: int | None = None,
+                              ext_words: int = 0):
+    """(fences, block, ext_block): the keyless index for huge corpora,
+    built through the sort unit (see measured basis above).
+
+    ``ext_words`` > 0 additionally builds a SECOND flat block holding
+    words key_words..key_words+ext_words-1 in the same (n/stride,
+    words*stride) layout — the deep-refine tier for long patterns
+    (bounds_batch_merge_deep). Fences stay key_words wide so the
+    per-batch fence sort does not pay for the extra coverage."""
+    n_pad = text.shape[0]
+    if stride is None:
+        stride = _fence_stride(n_pad)
+    assert stride > 1 or ext_words == 0, "ext tier needs a blocked layout"
+    total = key_words + ext_words
+    isa = _isa_padded(table, jnp.int32(n_table))
+    words = _words_rank_order(text, isa, jnp.int32(n_table), 0, key_words,
+                              total)
+    fences = tuple(w[::stride] for w in words)
+    if stride == 1:
+        return fences, None, None
+    block = jnp.zeros((n_pad // stride, key_words * stride), jnp.int32)
+    for w, wv in enumerate(words):
+        block = _blk_write(block, wv, w, stride)
+    del words
+    ext_block = None
+    if ext_words:
+        # Second sort pass (same isa) so at most key_words word arrays
+        # are ever alive next to the blocks — the 13-operand single
+        # sort would hold 12 words + block and OOM a 16 GB chip at 2^27
+        # (measured: the one-program 12w build RESOURCE_EXHAUSTED,
+        # round5_study battery).
+        ext = _words_rank_order(text, isa, jnp.int32(n_table), key_words,
+                                total, total)
+        ext_block = jnp.zeros((n_pad // stride, ext_words * stride),
+                              jnp.int32)
+        for w, wv in enumerate(ext):
+            ext_block = _blk_write(ext_block, wv, w, stride)
+        del ext
+    return fences, block, ext_block
+
+
+def _ext_word_at(ext_block: jax.Array, stride: int, ranks: jax.Array,
+                 w: int) -> jax.Array:
+    """Ext word ``w`` at each rank — one element gather into the flat
+    blocked layout (rank r lives at row r//stride, col w*stride +
+    r%stride)."""
+    flat = ext_block.reshape(-1)
+    cols = ext_block.shape[1]
+    idx = (ranks // stride) * cols + w * stride + ranks % stride
+    return jnp.take(flat, jnp.clip(idx, 0, flat.size - 1), mode="clip")
+
+
+def _deep_probe(ext_block: jax.Array, stride: int, qke: list, qke_hi: list,
+                start: jax.Array, end: jax.Array):
+    """Narrow [start, end) (exact through the fence words) to exactness
+    through the ext words: fused lower/upper binary search; each probe
+    costs len(qke) element gathers per lane. Ranges are fence-word-equal
+    runs, so iteration count is log2 of the longest common-prefix run."""
+    n_ext = len(qke)
+
+    def cmp(mid):
+        lt = jnp.zeros(mid.shape, bool)
+        gt = jnp.zeros(mid.shape, bool)
+        eq_lo = jnp.ones(mid.shape, bool)
+        eq_hi = jnp.ones(mid.shape, bool)
+        for w in range(n_ext):
+            v = _ext_word_at(ext_block, stride, mid, w)
+            lt = lt | (eq_lo & (v < qke[w]))
+            eq_lo = eq_lo & (v == qke[w])
+            gt = gt | (eq_hi & (v > qke_hi[w]))
+            eq_hi = eq_hi & (v == qke_hi[w])
+        return lt, gt
+
+    def step(state):
+        (ll, lr), (ul, ur) = state
+        l_act = ll < lr
+        u_act = ul < ur
+        lmid = (ll + lr) // 2
+        umid = (ul + ur) // 2
+        l_lt, _ = cmp(lmid)
+        _, u_gt = cmp(umid)
+        l_pred = jnp.logical_not(l_lt)   # key >= qk
+        ll = jnp.where(l_act, jnp.where(l_pred, ll, lmid + 1), ll)
+        lr = jnp.where(l_act, jnp.where(l_pred, lmid, lr), lr)
+        ul = jnp.where(u_act, jnp.where(u_gt, ul, umid + 1), ul)
+        ur = jnp.where(u_act, jnp.where(u_gt, umid, ur), ur)
+        return (ll, lr), (ul, ur)
+
+    def not_conv(state):
+        (ll, lr), (ul, ur) = state
+        return jnp.any((ll < lr) | (ul < ur))
+
+    state = ((start, end), (start, end))
+    ((s_lo, _), (s_up, _)) = jax.lax.while_loop(not_conv, step, state)
+    return s_lo, s_up
+
+
+@functools.partial(jax.jit, static_argnames=("max_qlen", "B", "B2"))
+def bounds_batch_merge_deep(text, n_text, table, n_table, pk_fence,
+                            pk_block, ext_block, queries, qlens,
+                            max_qlen: int, B: int, B2: int = 0):
+    """(start, count) on the deep keyless index.
+
+    Phase 1 is the plain merge-join (exact to 3*len(pk_fence) bytes).
+    Longer patterns COMPACT to a static bucket of B lanes before any
+    per-probe gather runs, and the byte tail (qlen beyond the ext
+    coverage) compacts AGAIN to B2 lanes before any window gather.
+    PRECONDITIONS (the host caller sizes both from the actual counts):
+    B >= count(qlens > 3*key_words), B2 >= count(qlens > coverage) —
+    a lane left outside its bucket would keep the previous tier's
+    bounds. The double compaction is what makes the engine scale with
+    batch size: a lockstep byte refine gathering over every lane was
+    630 ms of an 826 ms 131k battery, and probe gathers now only ever
+    run for lanes whose patterns actually need that tier
+    (round5_study deep)."""
+    key_words = len(pk_fence)
+    key_syms = 3 * key_words
+    stride = pk_block.shape[1] // key_words
+    ext_words = ext_block.shape[1] // stride
+    cov = 3 * (key_words + ext_words)
+    qk, qk_hi = _batch_query_keys(queries, qlens, key_words)
+    r_lo, r_up = _fence_ranks_both(list(pk_fence), qk, qk_hi)
+    b_lo = jnp.maximum(r_lo - 1, 0)
+    start = b_lo * stride + _block_count(pk_block, b_lo, qk,
+                                         less_equal=False)
+    b_up = jnp.maximum(r_up - 1, 0)
+    end = b_up * stride + _block_count(pk_block, b_up, qk_hi,
+                                       less_equal=True)
+    start = jnp.minimum(start, n_table)
+    end = jnp.minimum(end, n_table)
+
+    if max_qlen > key_syms and B > 0:
+        nq = qlens.shape[0]
+        long_q = qlens > key_syms
+        selkey = jnp.where(long_q, 0, 1).astype(jnp.int32)
+        _, lane = jax.lax.sort(
+            (selkey, jnp.arange(nq, dtype=jnp.int32)), num_keys=1,
+            is_stable=False)
+        lane = lane[:B]
+        act = jnp.take(long_q, lane)
+        q_sel = jnp.take(queries, lane, axis=0)
+        ql_sel = jnp.take(qlens, lane)
+        s_sel = jnp.where(act, jnp.take(start, lane), 0)
+        e_sel = jnp.where(act, jnp.take(end, lane), 0)
+        qk12, qk12_hi = _batch_query_keys(q_sel, ql_sel,
+                                          key_words + ext_words)
+        s2, e2 = _deep_probe(ext_block, stride, qk12[key_words:],
+                             qk12_hi[key_words:], s_sel, e_sel)
+        if max_qlen > cov and B2 > 0:
+            # Tail tier: second compaction, byte refine only on lanes
+            # whose pattern outruns the ext coverage, over the
+            # coverage-narrowed range.
+            deep = ql_sel > cov
+            selkey2 = jnp.where(deep, 0, 1).astype(jnp.int32)
+            _, lane2 = jax.lax.sort(
+                (selkey2, jnp.arange(B, dtype=jnp.int32)), num_keys=1,
+                is_stable=False)
+            lane2 = lane2[:B2]
+            act2 = jnp.take(deep, lane2)
+            rs = jnp.where(act2, jnp.take(s2, lane2), 0)
+            re = jnp.where(act2, jnp.take(e2, lane2), 0)
+            q_tail = jnp.take(q_sel, lane2, axis=0)[:, cov:]
+            ql_tail = jnp.maximum(jnp.take(ql_sel, lane2) - cov, 0)
+
+            def refine(q, ql, a, b):
+                return _refine_one(text, n_text, table, q, ql, a, b,
+                                   sufi_off=cov)
+
+            r_s, r_e = jax.vmap(refine)(q_tail, ql_tail, rs, re)
+            s2 = s2.at[lane2].set(
+                jnp.where(act2, r_s, jnp.take(s2, lane2)))
+            e2 = e2.at[lane2].set(
+                jnp.where(act2, r_e, jnp.take(e2, lane2)))
+        start = start.at[lane].set(
+            jnp.where(act, s2, jnp.take(start, lane)))
+        end = end.at[lane].set(jnp.where(act, e2, jnp.take(end, lane)))
 
     empty = (qlens == 0) | (n_table == 0)
     start = jnp.where(empty, 0, start)

@@ -83,6 +83,7 @@ class SuffixTable:
         self._dev_table = None
         self._n_iters = None
         self._pk_ext = None  # extended keys, built on first long-query batch
+        self._ext_block = None  # deep keyless ext tier (huge indexes)
         self._host_handle = None  # native single-query handle (hybrid route)
         self._init_lock = threading.RLock()  # guards the lazy device state
         # Per-instance routing (class attributes are the defaults):
@@ -265,11 +266,40 @@ class SuffixTable:
             from suffix_tpu.ops import search2
 
             with_keys = n_pad <= self.FLAT_KEYS_MAX_PAD
-            (self._pk, self._pk_fence, self._pk_block,
-             self._lut) = search2.build_query_index(
-                dev_text, self._dev_table, jnp.int32(n),
-                with_keys=with_keys,
-            )
+            self._ext_block = None
+            if with_keys:
+                (self._pk, self._pk_fence, self._pk_block,
+                 self._lut) = search2.build_query_index(
+                    dev_text, self._dev_table, jnp.int32(n),
+                    with_keys=True,
+                )
+            else:
+                # Huge index: keyless layout, built through the sort
+                # unit (sorted-gather, ~6x the per-word gather build at
+                # 128 MiB), plus the deep-refine ext tier while it fits
+                # HBM — long patterns then probe the ext words for a
+                # compacted lane bucket instead of byte-refining from
+                # 18-byte-equal ranges (the 492-of-511 ms r4 cliff,
+                # scripts/round5_study.py battery).
+                if (n_pad <= search2.DEEP_EXT_MAX_PAD
+                        and n_pad < search2.LEAN_MIN_PAD):
+                    (self._pk_fence, self._pk_block,
+                     self._ext_block) = search2.build_query_index_keyless(
+                        dev_text, self._dev_table, jnp.int32(n),
+                        key_words=search2.DEEP_FENCE_WORDS,
+                        ext_words=search2.DEEP_EXT_WORDS,
+                    )
+                else:
+                    # Past the ext-tier HBM gate: the host-stepped lean
+                    # builder (one word in flight) keeps the peak low
+                    # enough for a 256 MiB index on a 16 GB chip.
+                    (_, self._pk_fence, self._pk_block,
+                     _) = search2.build_query_index(
+                        dev_text, self._dev_table, jnp.int32(n),
+                        with_keys=False,
+                    )
+                self._pk = None
+                self._lut = None
             # Published last: other threads key readiness off _dev_text.
             self._dev_text = dev_text
 
@@ -393,7 +423,29 @@ class SuffixTable:
         from suffix_tpu.ops import search2
 
         pk_fence, pk_block = self._pk_fence, self._pk_block
-        if (int(qlens.max(initial=0)) > search2.KEY_SYMS
+        max_live_qlen = int(qlens.max(initial=0))
+        deep_syms = 3 * len(pk_fence)
+        if (max_live_qlen > deep_syms and self._pk is None
+                and self._ext_block is not None):
+            # Deep keyless route: merge join + compacted ext-word probe
+            # + doubly-compacted byte tail. The buckets B/B2 are sized
+            # from the ACTUAL per-tier counts (power-of-two bucketed
+            # for compile reuse).
+            stride = pk_block.shape[1] // len(pk_fence)
+            cov = deep_syms + 3 * (self._ext_block.shape[1] // stride)
+            n_long = int((qlens > deep_syms).sum())
+            n_deep = int((qlens > cov).sum())
+            B = min(q_pad, bucket_size(max(n_long, 1), minimum=8))
+            B2 = (min(B, bucket_size(max(n_deep, 1), minimum=8))
+                  if n_deep else 0)
+            starts, counts = search2.bounds_batch_merge_deep(
+                self._dev_text, jnp.int32(len(self)), self._dev_table,
+                jnp.int32(len(self)), pk_fence, pk_block, self._ext_block,
+                jnp.asarray(full_q), jnp.asarray(full_lens),
+                m_pad, B, B2,
+            )
+            return np.asarray(starts)[:nq], np.asarray(counts)[:nq]
+        if (max_live_qlen > search2.KEY_SYMS
                 and self._pk is not None):
             # Long patterns: widen the exact merge-join coverage to
             # 3*EXT_KEY_WORDS bytes instead of probe-refining from 18.

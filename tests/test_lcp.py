@@ -163,7 +163,8 @@ def test_bulk_engine_sparse_repeats(monkeypatch):
 
     # Bulk budget exhausted (deep lanes beyond LCP_BULK_MAX_OFF): the
     # driver returns None and auto falls back to Kasai — still equal.
-    monkeypatch.setattr(lcp_ops, "LCP_BULK_LADDER", (128,))
+    monkeypatch.setattr(lcp_ops, "LCP_BULK_LADDER",
+                        (("rows", 128, 0),))
     monkeypatch.setattr(lcp_ops, "LCP_BULK_MAX_OFF", 256)
     kasai_calls.clear()
     got2 = st_.lcp_lens()
@@ -225,3 +226,65 @@ def test_bulk_engine_stagea_only(monkeypatch):
     got = st_.lcp_lens()
     expected = kasai_host(np.frombuffer(text, np.uint8), st_.table())
     assert np.array_equal(expected, got)
+
+
+def test_packed_bulk_survivor_dense_text(monkeypatch):
+    """Text-class corpora (survivors a few % of n) route to the PACKED
+    bulk ladder since round 5 (was host Kasai when window gathers cost
+    an element per byte) and stay bit-equal to Kasai."""
+    from suffix_tpu.ops import lcp as lcp_ops
+    from suffix_tpu.utils.textgen import text_corpus
+
+    arr = text_corpus(1 << 18, boilerplate_bytes=1024,
+                      boilerplate_copies=12)
+    st_ = SuffixTable.new(bytes(arr))
+    bulk_calls = []
+    orig_bulk = lcp_ops._lcp_bulk
+
+    def spy_bulk(*a, **k):
+        bulk_calls.append(True)
+        return orig_bulk(*a, **k)
+
+    monkeypatch.setattr(lcp_ops, "_lcp_bulk", spy_bulk)
+    got = st_.lcp_lens()
+    assert bulk_calls, "text-class corpus did not take the bulk ladder"
+    assert np.array_equal(kasai_host(arr, st_.table()), got)
+
+
+def test_packed_window_stage_parity():
+    """_bulk_refine_packed in isolation: every phase alignment (base
+    mod 3), end-of-text boundaries, and multi-round extension must
+    yield the same LCPs as the host oracle."""
+    import jax.numpy as jnp
+
+    from suffix_tpu.ops import lcp as lcp_ops
+    from suffix_tpu.ops.padding import PAD, bucket_size
+
+    rng = np.random.default_rng(9)
+    for trial in range(6):
+        n = int(rng.integers(64, 900))
+        arr = rng.integers(0, 3, size=n, dtype=np.uint8) + 97
+        st_ = SuffixTable.new(bytes(arr))
+        sa = st_.table()
+        expected = kasai_host(arr, sa)
+        n_pad = bucket_size(n)
+        t_pad = np.full((n_pad,), PAD, np.int32)
+        t_pad[:n] = arr
+        tw = lcp_ops._text_words3(jnp.asarray(t_pad))
+        # Feed every adjacent pair as an "active survivor" from lcp=0.
+        a = np.zeros((n_pad,), np.int32)
+        b = np.zeros((n_pad,), np.int32)
+        a[1:n] = sa[1:n]
+        b[1:n] = sa[: n - 1]
+        flag = np.zeros((n_pad,), np.int32)
+        flag[1:n] = 1
+        lcp0 = np.zeros((n_pad,), np.int32)
+        S = int(rng.choice([6, 15, 45]))
+        out, fl, left = lcp_ops._bulk_refine_packed(
+            tw, jnp.int32(n), jnp.asarray(a), jnp.asarray(b),
+            jnp.asarray(lcp0), jnp.asarray(flag), n_pad, S,
+            row_block=n_pad, max_rounds=4096)
+        assert int(left) == 0
+        got = np.asarray(out)[1:n]
+        assert np.array_equal(got, expected[1:n].astype(np.int32)), \
+            (trial, n, S)

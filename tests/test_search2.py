@@ -329,3 +329,53 @@ def test_monolithic_route_past_lean_min_pad_warns(dna_10k, monkeypatch):
     with pytest.warns(RuntimeWarning, match="with_keys=False"):
         s2.build_query_index(t_dev, tab_dev, jnp.int32(n), with_keys=False,
                              stride=1)
+
+
+def test_deep_keyless_engine_parity(dna_10k, monkeypatch):
+    """The deep keyless engine (fences + block + ext tier + compacted
+    long-lane probe, round 5) must be bit-identical to the flat-key
+    route on mixed batteries spanning every coverage tier: <=18 B
+    (fence+block exact), 19-36 B (ext probe exact), >36 B (tail byte
+    refine), plus misses and repeats-heavy text."""
+    rng = np.random.default_rng(0xDEE9)
+    text = bytearray(dna_10k[:6000])
+    blk = bytes(text[100:400])  # fat 300-byte repeats: deep equal-ranges
+    for at in rng.integers(0, 5000, size=8):
+        text[at:at + 300] = blk
+    text = bytes(text)
+    ref = SuffixTable.new(text)
+    ref.query_route = "device"
+    monkeypatch.setattr(SuffixTable, "FLAT_KEYS_MAX_PAD", 1 << 10)
+    deep = SuffixTable.new(text)
+    deep.query_route = "device"
+    deep._ensure_device()
+    assert deep._pk is None and deep._ext_block is not None
+    queries = []
+    for l in (1, 3, 8, 14, 18, 19, 24, 36, 37, 40, 64, 90):
+        for _ in range(6):
+            s = int(rng.integers(0, len(text) - l))
+            queries.append(text[s:s + l])
+        queries.append(bytes(rng.integers(65, 91, size=l).tolist()))
+    s_r, c_r = ref._bounds_batch(queries)
+    s_d, c_d = deep._bounds_batch(queries)
+    np.testing.assert_array_equal(s_r, s_d)
+    np.testing.assert_array_equal(c_r, c_d)
+
+
+def test_sorted_gather_words_match_gather_build(dna_10k):
+    """packed_keys_rank_order (2-sort construction) == the per-word
+    gather build, including pad masking."""
+    text = dna_10k[:3000]
+    st_ = SuffixTable.new(text)
+    n = len(st_)
+    n_pad = bucket_size(n)
+    t = np.full((n_pad,), PAD, np.int32)
+    t[:n] = np.frombuffer(text, np.uint8)
+    tab = np.zeros((n_pad,), np.int32)
+    tab[:n] = st_.table()
+    t_dev, tab_dev = jnp.asarray(t), jnp.asarray(tab)
+    pk_ref, _, _, _ = s2.build_query_index(t_dev, tab_dev, jnp.int32(n),
+                                           stride=1)
+    pk_sorted = s2.packed_keys_rank_order(t_dev, tab_dev, n)
+    for a, b in zip(pk_ref, pk_sorted):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
