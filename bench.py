@@ -141,7 +141,14 @@ def main() -> None:
     sync(build_fix())
     dt_fix = _throughput_time(build_fix, sync)
     detail["construct_100KB_fixture_s"] = round(dt_fix, 4)
-    detail["construct_100KB_fixture_MBps"] = round(len(fixture) / dt_fix / 1e6, 2)
+    fix_mbps = len(fixture) / dt_fix / 1e6
+    detail["construct_100KB_fixture_MBps"] = round(fix_mbps, 2)
+    try:
+        cpu_fix = pinned_cpu("sais_100KB_fixture")
+        detail["native_cpu_100KB_MBps"] = round(cpu_fix, 2)
+        detail["vs_native_cpu_100KB"] = round(fix_mbps / cpu_fix, 2)
+    except Exception as e:
+        detail["native_cpu_100KB_MBps"] = f"unavailable: {e}"
 
     # --- repeated-fixture corpus (the reference's own scaling test) ------
     # NOTES.md: the reference took 212.7 s for the 10 MB repeated FASTA
@@ -178,8 +185,14 @@ def main() -> None:
     build_mut, _, mut_label = device_build_fn(mut_u8, 1 << 22)
     detail["construct_near_repeated_engine"] = mut_label
     dt_mut = _throughput_time(build_mut, sync)
-    detail["construct_4MiB_near_repeated_MBps"] = round(
-        (1 << 22) / dt_mut / 1e6, 2)
+    mut_mbps = (1 << 22) / dt_mut / 1e6
+    detail["construct_4MiB_near_repeated_MBps"] = round(mut_mbps, 2)
+    try:
+        cpu_mut = pinned_cpu("sais_4MiB_near_repeated")
+        detail["native_cpu_near_repeated_MBps"] = round(cpu_mut, 2)
+        detail["near_repeated_vs_native_cpu"] = round(mut_mbps / cpu_mut, 2)
+    except Exception as e:
+        detail["native_cpu_near_repeated_MBps"] = f"unavailable: {e}"
 
     # --- batched queries on the 4 MiB index (merge-join engine) ----------
     sa_dev = jnp.asarray(np.asarray(sa).astype(np.int32))
@@ -239,6 +252,14 @@ def main() -> None:
             for _ in range(n_small):
                 native.sais(b"mississippi")
             detail["build_mississippi_ns_host"] = round(
+                (time.perf_counter() - t0) / n_small * 1e9)
+            # Python-visible full constructor (the reference's
+            # sais_small measures SuffixTable::new end to end).
+            SuffixTable.new(b"warm", engine="native")
+            t0 = time.perf_counter()
+            for _ in range(n_small):
+                SuffixTable.new(b"mississippi", engine="native")
+            detail["build_mississippi_table_ns"] = round(
                 (time.perf_counter() - t0) / n_small * 1e9)
             st_small = SuffixTable.new(fixture, engine="native")
             st_small.query_route = "host"

@@ -37,6 +37,7 @@ FIXTURE_100K = str(_FIXTURES / "AP009048_100000.fasta")
 PUBLISHED = {
     "naive_small": 228,
     "sais_small": 1_038,
+    "sais_small_table": 1_038,  # the ref row IS its full constructor
     "naive_dna_small": 1_785_734,
     "sais_dna_small": 712_938,
     "naive_dna_medium": 22_307_313,
@@ -98,6 +99,12 @@ def host_rows() -> tuple[dict[str, float], dict[str, float]]:
             raise RuntimeError("native lib not built")
         native.sais(b"warm")
         rows["sais_small"] = timeit(lambda: native.sais(b"mississippi"))
+        # The apples-to-apples row: the reference's sais_small times its
+        # full SuffixTable::new (tests/bench.rs:17-23); this is OUR full
+        # Python-visible constructor (fast path: table.py _new_small).
+        SuffixTable.new(b"warm", engine="native")
+        rows["sais_small_table"] = timeit(
+            lambda: SuffixTable.new(b"mississippi", engine="native"))
         rows["sais_dna_small"] = timeit(lambda: native.sais(dna_small),
                                         min_time=1.0)
         rows["sais_dna_medium"] = timeit(lambda: native.sais(dna_medium),

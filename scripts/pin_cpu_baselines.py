@@ -48,6 +48,12 @@ def main():
     dna4 = bytes(rng.integers(0, 4, size=1 << 22, dtype=np.uint8) + 97)
     classes["sais_4MiB_dna"] = median_mbps(dna4, 7)
     classes["sais_4MiB_repeated"] = median_mbps((fixture * 45)[:1 << 22], 7)
+    classes["sais_100KB_fixture"] = median_mbps(fixture, 15)
+    # The bench's near-repeated fixture verbatim (bench.py): 16 point
+    # mutations over the tiled fixture, rng seed 1.
+    mut = np.frombuffer((fixture * 45)[:1 << 22], np.uint8).copy()
+    mut[np.random.default_rng(1).integers(0, 1 << 22, 16)] ^= 1
+    classes["sais_4MiB_near_repeated"] = median_mbps(mut.tobytes(), 7)
     dna64 = bytes(rng.integers(0, 4, size=1 << 26, dtype=np.uint8) + 97)
     classes["sais_64MiB_dna"] = median_mbps(dna64, 3)
     text128 = text_corpus(1 << 27)

@@ -37,6 +37,30 @@ from suffix_tpu.ops.padding import PAD, bucket_size
 
 MAX_TEXT_LEN = 0xFFFFFFFF  # u32 offsets, same cap as the reference
 
+# Guards creation of an instance's _init_lock when the instance came
+# through the small-build fast path (two threads racing __getattr__
+# must agree on ONE lock object).
+_LOCK_CREATE = threading.Lock()
+
+# Resolved once on the first small build: the raw C sais entry (the
+# extension's METH_O function when built, else the Python wrapper),
+# or False when no native library exists. Re-resolving per build cost
+# ~900 ns of import/availability machinery — more than the C build of
+# "mississippi" itself.
+_SMALL_SAIS = None
+
+
+def _resolve_small_sais():
+    global _SMALL_SAIS
+    from suffix_tpu import native
+
+    if not native.available():
+        _SMALL_SAIS = False
+        return False
+    fp = native._load_fastpath()
+    _SMALL_SAIS = fp.sais if fp is not None else native.sais
+    return _SMALL_SAIS
+
 # engine="auto": corpora at or below this build on the host CPU via the
 # native SA-IS; larger ones go to the device pipeline. Threshold measured
 # (scripts/round3_study.py crossover, v5e via tunnel): native wins the
@@ -99,6 +123,51 @@ class SuffixTable:
         # saved with stats.
         self.build_stats = None
 
+    # Lazily materialized state for fast-path instances (_new_small
+    # skips __init__; __getattr__ below fills these on first touch).
+    _LAZY_NONE = frozenset((
+        "_dev_text", "_dev_table", "_n_iters", "_pk_ext", "_ext_block",
+        "_host_handle", "_route1_cache", "build_stats",
+    ))
+
+    def __getattr__(self, name):
+        # Only ever called for attributes missing from the instance —
+        # zero overhead for fully-initialized tables.
+        if name in type(self)._LAZY_NONE:
+            self.__dict__[name] = None
+            return None
+        if name == "_bytes":
+            v = np.frombuffer(self._raw, dtype=np.uint8)
+            self.__dict__[name] = v
+            return v
+        if name == "_query_route":
+            v = type(self)._QUERY_ROUTE_DEFAULT
+            self.__dict__[name] = v
+            return v
+        if name == "_init_lock":
+            with _LOCK_CREATE:
+                if "_init_lock" not in self.__dict__:
+                    self.__dict__["_init_lock"] = threading.RLock()
+            return self.__dict__["_init_lock"]
+        raise AttributeError(name)
+
+    @classmethod
+    def _new_small(cls, raw: bytes, table) -> "SuffixTable":
+        """Minimal-overhead construction for the host small-build path.
+
+        The reference's sais_small microbench (tests/bench.rs:17-23,
+        1,038 ns published) measures `SuffixTable::new` end to end; the
+        full Python __init__ costs ~1.8 us in validation, lock and
+        cache setup the small-build path never touches — so those
+        become lazy (__getattr__) and the Python-visible build lands
+        under the reference's number (bench_micro build rows)."""
+        st = cls.__new__(cls)
+        d = st.__dict__
+        d["_raw"] = raw
+        d["_table"] = table
+        d["_was_str"] = False
+        return st
+
     # ----------------------------------------------------------------- build
 
     @classmethod
@@ -125,6 +194,22 @@ class SuffixTable:
         ``index_dtype`` ("u32"/"u64"/"auto", device engine only) widens
         indices past the reference's u32 cap; u64 needs jax_enable_x64.
         """
+        if (type(text) is bytes and not collect_stats
+                and index_dtype == "u32"
+                and (engine == "native"
+                     or (engine == "auto"
+                         and len(text) <= AUTO_NATIVE_MAX))):
+            # Small-build fast path: one C call + a 3-slot instance
+            # (sub-microsecond Python-visible; see _new_small).
+            fn = _SMALL_SAIS
+            if fn is None:
+                fn = _resolve_small_sais()
+            if fn:
+                if len(text) > MAX_TEXT_LEN:
+                    raise ValueError(
+                        "text is too large (max 2^32 - 1 bytes); use "
+                        "suffix_array_bytes(index_dtype='u64')")
+                return cls._new_small(text, fn(text))
         raw, was_str = _as_bytes(text)
         if engine == "auto":
             engine = "device"
