@@ -490,9 +490,20 @@ def _bulk_refine_packed(tw, n_text, a, b, lcp, flag, s_pad: int, S: int,
 # re-compaction between them. Shallow tiers use packed-symbol windows
 # (3 bytes per gathered element — see the measured rationale above);
 # the deep tier keeps the aligned-row DMA windows. Coverage: 18 (keyed
-# base) + 15*6 + 45*8 = 468 B through the packed tiers, then 2 KiB
-# row windows until LCP_BULK_MAX_OFF.
-LCP_BULK_LADDER = (("packed", 15, 6), ("packed", 45, 8), ("rows", 2048, 0))
+# base) + 15*6 + 45*4 = 288 B through the packed tiers, then 2 KiB row
+# windows until LCP_BULK_MAX_OFF. Measured shape (round5_study
+# lcpbulk128, 128 MiB text): p15 resolves 4.64M -> 160k survivors;
+# what remains is almost entirely the multi-kB boilerplate class, so
+# the middle tier runs few rounds and the deep tier does the rest in
+# ~2 window rounds.
+# Stages keep round counts LOW and re-compact between stages instead:
+# a gather runs for every lane of a block whether live or not (masking
+# applies after the fetch), so a 6-round stage pays ~6x the round-1
+# traffic while ~95% of lanes die in round 1 (measured decay at
+# 128 MiB: 4.64M -> 160k). One compaction sort (~0.3 s at 8M rows) is
+# far cheaper than a dead-lane gather round.
+LCP_BULK_LADDER = (("packed", 15, 1), ("packed", 15, 2), ("packed", 45, 3),
+                   ("rows", 2048, 0))
 
 
 def _lcp_bulk(text_dev, n: int, tab_dev, pk: tuple,
@@ -528,18 +539,25 @@ def _lcp_bulk(text_dev, n: int, tab_dev, pk: tuple,
         last = stage_i == len(LCP_BULK_LADDER) - 1
         if last and rounds == 0:
             rounds = max(1, LCP_BULK_MAX_OFF // w)
+        def pow2_block(budget: int) -> int:
+            # row_block must tile s_pad (a power of two): round the
+            # per-block lane budget DOWN to a power of two. Budgets are
+            # sized so a block's window transient stays ~1 GB — small
+            # blocks SERIALIZE (the block fori carries the while_loop:
+            # 64 blocks x 32 rounds of 4096-lane gathers measured 18 s
+            # of pure latency at 16 MiB before this sizing).
+            return min(s_pad, max(256, 1 << (budget.bit_length() - 1)))
+
         if kind == "packed":
             if tw is None:
                 tw = _text_words3(text_dev)
-            row_block = min(s_pad, max(256, (1 << 22) // w))
             p_lcp, p_flag, n_left = _bulk_refine_packed(
                 tw, jnp.int32(n), p_a, p_prev, p_lcp, p_flag,
-                s_pad, w, row_block, max_rounds=rounds)
+                s_pad, w, pow2_block((1 << 25) // w), max_rounds=rounds)
         else:
-            row_block = min(s_pad, max(256, (1 << 23) // w))
             p_lcp, p_flag, n_left = _bulk_refine_prefix(
                 text_dev, jnp.int32(n), p_a, p_prev, p_lcp, p_flag,
-                s_pad, w, row_block, max_rounds=rounds)
+                s_pad, w, pow2_block((1 << 27) // w), max_rounds=rounds)
         prev_act = n_act
         n_act = int(n_left)  # sync point
         if verbose:
