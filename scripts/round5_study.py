@@ -314,6 +314,37 @@ def main():
                       check_parity=True)
         return
 
+    if section == "lcpprod":
+        # Production-path LCP at 128 MiB in a CLEAN process: build the
+        # SA, drop every study-local device array, then time
+        # SuffixTable-equivalent host-in/host-out lcp_from_sa(auto) —
+        # the duplicate-array study process measured 248 s for the same
+        # call that costs ~67 s standalone (HBM pressure), so the
+        # routing decision uses THIS number.
+        from suffix_tpu.ops import lcp as lcp_ops
+        from suffix_tpu.ops.prefix_doubling import device_build_closure
+
+        n_txt = 1 << 27
+        txt = _corpus_128(n_txt)
+        build, label = device_build_closure(txt, n_txt)
+        sa = build()
+        sync(sa)
+        sa_np = np.asarray(sa)[:n_txt].astype(np.uint32)
+        del sa, build
+        t0 = time.perf_counter()
+        out = lcp_ops.lcp_from_sa(txt, sa_np)
+        dt1 = time.perf_counter() - t0
+        print(f"lcp_from_sa(auto) cold: {dt1:.2f}s", flush=True)
+        t0 = time.perf_counter()
+        out2 = lcp_ops.lcp_from_sa(txt, sa_np)
+        dt2 = time.perf_counter() - t0
+        print(f"lcp_from_sa(auto) warm: {dt2:.2f}s", flush=True)
+        t0 = time.perf_counter()
+        ref = lcp_ops._kasai_route(txt, sa_np)
+        print(f"host kasai: {time.perf_counter()-t0:.2f}s parity="
+              f"{np.array_equal(out2, ref)}", flush=True)
+        return
+
     if section == "deep":
         # Round-5 deep keyless engine on the 128 MiB corpus: sorted-
         # gather index build + ext tier + compacted long-lane refine.

@@ -75,20 +75,23 @@ def _lcp_padded(text: jax.Array, n_text: jax.Array, table: jax.Array,
 # dispatch-depth-bound, not bandwidth-bound. Routing:
 #   survivors <= LCP_SURV_CHUNKED .. the chunked engine (few survivors:
 #                                    one chunk, minimal dispatches)
-#   survivors <= n/64 ............ the staged BULK engine (_lcp_bulk):
-#                                    geometric window ladder over the
-#                                    compacted survivors, ~8 dispatches
-#                                    (the sparse-repeat niche: genomic
-#                                    duplications, boilerplate-bearing
-#                                    corpora)
-#   else / budget exhausted ...... linear host Kasai
-# The n/64 split is measured, not aesthetic: TPU window gathers run at
-# ~0.9 GB/s effective (round4_study textlcp128 — 16-20x under HBM bw),
-# so survivor-dense corpora (text ~2-3.5% of n, repetition ~n) complete
-# faster on the host's linear Kasai than any windowed device refine;
-# at 128 MiB text the measured ladder-bulk is 54 s (19 s of it host
-# readback through the ~53 MB/s tunnel) vs 19.7 s Kasai. All arms are
-# pinned bit-equal to Kasai by tests/test_lcp.py.
+#   survivors <= n/8 ............. the staged BULK engine (_lcp_bulk):
+#                                    packed-symbol window ladder with
+#                                    inter-stage compaction (r5; covers
+#                                    sparse repeats AND text-class
+#                                    survivor-dense corpora — at
+#                                    128 MiB text the packed tier
+#                                    resolves 4.64M survivors to 160k
+#                                    in one 15-symbol round)
+#   else / budget exhausted ...... linear host Kasai (degenerate
+#                                    repetition: survivor mass ~ n with
+#                                    LCP depth ~ n)
+# The r4 ladder fetched whole byte windows at element-gather rate
+# (~70M el/s on v5e — round5_study gather) and lost to host Kasai on
+# text; the r5 ladder packs 3 bytes per gathered element, compacts
+# between rounds, and sizes row blocks so the block loop cannot
+# serialize (see LCP_BULK_LADDER notes). All arms are pinned bit-equal
+# to Kasai by tests/test_lcp.py.
 LCP_SURV_CHUNKED = 2048      # one refine chunk
 LCP_SURV_ROUTE_MAX = 16384   # legacy chunked budget (method="device")
 LCP_MAX_OFF = 8192           # chunked path: ~64 refine rounds of 128 B
@@ -426,16 +429,27 @@ def _text_words3(text: jax.Array) -> jax.Array:
 
 def _packed_window(tw: jax.Array, base: jax.Array, S: int) -> jax.Array:
     """(lanes, S) symbol windows starting at byte offset ``base`` —
-    ceil(S/3)+1 element gathers per lane plus register shifts."""
+    ceil(S/3)+1 element gathers per lane plus register shifts.
+
+    The in-lane alignment has only THREE phases (base mod 3), so the
+    symbol extraction is unrolled statically per phase and selected —
+    a dynamic take_along_axis here measured 8.04 s for the 8.4M-lane
+    round at 128 MiB where the gather itself is ~1 s (round5_study
+    lcpbulk128d)."""
     K = S // 3 + 2
     q = base // 3
     r = base % 3
     w = jnp.take(tw, q[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
                  mode="clip")
-    j = jnp.arange(S, dtype=jnp.int32)[None, :] + r[:, None]
-    word = jnp.take_along_axis(w, j // 3, axis=1)
-    sh = 18 - 9 * (j % 3)
-    return (word >> sh) & 0x1FF
+    outs = []
+    for p in range(3):
+        syms = [
+            (w[:, (p + j) // 3] >> (18 - 9 * ((p + j) % 3))) & 0x1FF
+            for j in range(S)
+        ]
+        outs.append(jnp.stack(syms, axis=1))
+    return jnp.where((r == 0)[:, None], outs[0],
+                     jnp.where((r == 1)[:, None], outs[1], outs[2]))
 
 
 @functools.partial(jax.jit, static_argnames=("s_pad", "S", "row_block",
@@ -502,8 +516,15 @@ def _bulk_refine_packed(tw, n_text, a, b, lcp, flag, s_pad: int, S: int,
 # traffic while ~95% of lanes die in round 1 (measured decay at
 # 128 MiB: 4.64M -> 160k). One compaction sort (~0.3 s at 8M rows) is
 # far cheaper than a dead-lane gather round.
+# The deep tier is SPLIT (2048-byte windows for 4 rounds, then 16 KiB
+# windows to the budget): a single 2048-window stage ran its straggler
+# lanes 32 rounds with every block lane re-fetched per round — 34.97 s
+# of the 69.8 s warm ladder at 128 MiB (round5_study lcpbulk128d);
+# after 4 rounds the stage re-compacts (stragglers are a handful of
+# overlapping-boilerplate lanes) and the wide stage finishes them in
+# <= 3 rounds of cheap few-lane row fetches.
 LCP_BULK_LADDER = (("packed", 15, 1), ("packed", 15, 2), ("packed", 45, 3),
-                   ("rows", 2048, 0))
+                   ("rows", 2048, 4), ("rows", 16384, 0))
 
 
 def _lcp_bulk(text_dev, n: int, tab_dev, pk: tuple,
@@ -588,11 +609,10 @@ def _kasai_route(text_bytes: np.ndarray, sa: np.ndarray) -> np.ndarray:
 # Sampled pre-census: above this estimated survivor fraction the corpus
 # is clearly survivor-dense (the Kasai route wins by the measured
 # routing table) and the device staging + exact census are skipped
-# entirely. 2x the bulk bound (1/8 since the round-5 packed ladder) so
-# borderline corpora still get the exact device census. With 64k
-# samples the binomial CI at the threshold is ~±0.2%, far from
-# flipping a 2/8-vs-1/8 decision.
-LCP_SAMPLE_DENSE_FRAC = 2 / 8
+# entirely. 2x the bulk bound (1/64) so borderline corpora still get
+# the exact device census. With 64k samples the binomial CI at the
+# threshold is ~±0.1%, far from flipping a 2/64-vs-1/64 decision.
+LCP_SAMPLE_DENSE_FRAC = 2 / 64
 LCP_SAMPLE_K = 1 << 16
 
 
@@ -673,11 +693,14 @@ def lcp_from_sa(text_bytes: np.ndarray, sa: np.ndarray, block: int = 128,
                                          block=block, max_off=LCP_MAX_OFF)
             if int(unresolved) > 0:
                 return _kasai_route(t_np, sa)
-        elif n_surv <= n // 8:
-            # Survivor-dense corpora (text-class ~3.5%) now take the
-            # packed bulk ladder: measured FASTER than the host Kasai
-            # at 128 MiB since the round-5 retune (was n//64 when every
-            # window gather cost an element per byte).
+        elif n_surv <= n // 64:
+            # Sparse-repeat corpora stay on device. Survivor-DENSE
+            # text (~3.5% of n) was tried on the r5 packed ladder and
+            # still loses end-to-end: 70 s ladder + ~10 s result
+            # readback vs 14-17 s host Kasai at 128 MiB (round5_study
+            # lcpbulk128 warm per-stage) — the 70M el/s gather plateau
+            # prices the 4.64M-survivor packed round at ~8 s alone, so
+            # the host's linear pass keeps the host-out route.
             res = _lcp_bulk(t_dev, n, tab_dev, tuple(pk), block=block)
             if res is None:
                 return _kasai_route(t_np, sa)

@@ -240,16 +240,21 @@ def _patched_core(words, h0, index_dtype, n, q, bnds, cls_arr, rankT_flat,
         dense0 = jnp.cumsum(new_flag)
         done0 = dense0[-1] == n_pad - 1
         pure0 = purity(dense0, sa0)
-        rank0 = jax.lax.cond(
-            done0, lambda: dense0,
-            lambda: _invert_permutation(sa0, dense0))
 
+    # The loop state carries the SORTED view (dense ranks + suffix
+    # order); the home-order rank array is derived at the START of a
+    # continuing round. A round that ends on purity (the common case:
+    # exactly one) therefore never pays the inverse-permutation
+    # key-sort, and the closed form reads its per-suffix facts straight
+    # off sa_sorted — measured 88.7 -> ~60 ms on the 4 MiB fixture.
     def cond(state):
         _, _, k, done, pure = state
         return jnp.logical_not(done | pure) & (k < 2 * n_pad)
 
     def body(state):
-        rank, _, k, _, _ = state
+        dense_s, sa_s, k, _, _ = state
+        with jax.named_scope("P6_route_home"):
+            rank = _invert_permutation(sa_s, dense_s)
         with jax.named_scope("P3_shift_ranks"):
             rank_ext = jnp.concatenate([rank, neg])
 
@@ -269,34 +274,33 @@ def _patched_core(words, h0, index_dtype, n, q, bnds, cls_arr, rankT_flat,
             dense = jnp.cumsum(new_flag)
             done = dense[-1] == n_pad - 1
             pure = purity(dense, sa)
-        with jax.named_scope("P6_route_home"):
-            new_rank = jax.lax.cond(
-                done, lambda: rank,
-                lambda: _invert_permutation(sa, dense))
-        return (new_rank, sa, k * 4, done, pure)
+        return (dense, sa, k * 4, done, pure)
 
-    rank, sa_sorted, k_fin, done, pure_fin = jax.lax.while_loop(
+    dense_fin, sa_sorted, k_fin, done, pure_fin = jax.lax.while_loop(
         cond, body,
-        (rank0, sa0, h0.astype(index_dtype), done0, pure0))
+        (dense0, sa0, h0.astype(index_dtype), done0, pure0))
 
-    def closed_form(rank):
+    def closed_form(args):
+        dense_s, sa_s = args
         with jax.named_scope("PP_closed_form"):
-            real = idx < n
-            c = (idx % q).astype(jnp.int32)  # < q, always int32-safe
-            a = jnp.minimum(idx // q, cls_arr.shape[0] - 1)
+            real = sa_s < n
+            pos = jnp.where(real, sa_s, 0)
+            c = (pos % q).astype(jnp.int32)  # < q, always int32-safe
+            a = jnp.minimum(pos // q, cls_arr.shape[0] - 1)
             v = jnp.searchsorted(bnds, c, side="right").astype(jnp.int32)
             cls = jnp.take(cls_arr, a)
             tc = jnp.take(rankT_flat, v * n_cls + cls)
             rs = jnp.take(rank_s, jnp.minimum(a + 1, rank_s.shape[0] - 1))
             small = (tc * rs_cap + (rs + 1)).astype(index_dtype)
-            small = jnp.where(real, small, (n_pad - 1) - idx)
-            _, _, sa = jax.lax.sort((rank, small, idx), num_keys=2,
+            small = jnp.where(real, small, (n_pad - 1) - sa_s)
+            _, _, sa = jax.lax.sort((dense_s, small, sa_s), num_keys=2,
                                     is_stable=False)
             return sa
 
     # done => sa_sorted is already the full SA (all ranks distinct);
     # otherwise the loop stopped on purity and the closed form finishes.
-    sa = jax.lax.cond(done, lambda r: sa_sorted, closed_form, rank)
+    sa = jax.lax.cond(done, lambda a: a[1], closed_form,
+                      (dense_fin, sa_sorted))
     if with_stats:
         return sa, k_fin, done, pure_fin
     return sa
@@ -408,7 +412,14 @@ def patched_dispatch(arr: np.ndarray, q: int, defects: np.ndarray,
         lut, bits, cpw, n_words = plan
         if w_rot is not None:
             want = -(-(w_rot + 12) // cpw)  # slack: defect-local ties
-            if n_words < want <= PATCH_MAX_WORDS:
+            # Only CHEAP widenings pay: measured on the 4 MiB fixture,
+            # each extra sort operand costs ~6 ms while a quadrupling
+            # round costs ~30 ms (sort) now that the round's rank
+            # inversion is skipped before the closed form — widening
+            # from 5 to 14 words (rotation depth 84) measured 103.8 ms
+            # vs 88.7 ms for sorting narrow and paying one round
+            # (round5_study nearrep, r5). Beyond +3 words, rounds win.
+            if n_words < want <= min(n_words + 3, PATCH_MAX_WORDS):
                 n_words = want
         codes = np.zeros((n_pad,), np.int32)
         codes[:n] = lut[arr]

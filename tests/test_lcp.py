@@ -228,27 +228,33 @@ def test_bulk_engine_stagea_only(monkeypatch):
     assert np.array_equal(expected, got)
 
 
-def test_packed_bulk_survivor_dense_text(monkeypatch):
-    """Text-class corpora (survivors a few % of n) route to the PACKED
-    bulk ladder since round 5 (was host Kasai when window gathers cost
-    an element per byte) and stay bit-equal to Kasai."""
+def test_packed_bulk_on_text_class_parity():
+    """The r5 packed ladder run DIRECTLY on a survivor-dense text
+    corpus must be bit-equal to Kasai (auto routes this class to the
+    host Kasai — the measured end-to-end winner, see ops/lcp.py
+    routing notes — but the engine itself has to stay correct for
+    device-resident consumers and future routing changes)."""
+    import jax.numpy as jnp
+
     from suffix_tpu.ops import lcp as lcp_ops
+    from suffix_tpu.ops import search2 as s2
+    from suffix_tpu.ops.padding import PAD, bucket_size
     from suffix_tpu.utils.textgen import text_corpus
 
     arr = text_corpus(1 << 18, boilerplate_bytes=1024,
                       boilerplate_copies=12)
     st_ = SuffixTable.new(bytes(arr))
-    bulk_calls = []
-    orig_bulk = lcp_ops._lcp_bulk
-
-    def spy_bulk(*a, **k):
-        bulk_calls.append(True)
-        return orig_bulk(*a, **k)
-
-    monkeypatch.setattr(lcp_ops, "_lcp_bulk", spy_bulk)
-    got = st_.lcp_lens()
-    assert bulk_calls, "text-class corpus did not take the bulk ladder"
-    assert np.array_equal(kasai_host(arr, st_.table()), got)
+    n = arr.size
+    n_pad = bucket_size(n)
+    t_pad = np.full((n_pad,), PAD, np.int32)
+    t_pad[:n] = arr
+    sa_pad = np.zeros((n_pad,), np.int32)
+    sa_pad[:n] = st_.table()
+    t_dev, tab_dev = jnp.asarray(t_pad), jnp.asarray(sa_pad)
+    pk = s2.packed_keys_rank_order(t_dev, tab_dev, n)
+    res = lcp_ops._lcp_bulk(t_dev, n, tab_dev, tuple(pk))
+    assert res is not None
+    assert np.array_equal(kasai_host(arr, st_.table()), res)
 
 
 def test_packed_window_stage_parity():
