@@ -209,7 +209,14 @@ class SuffixTable:
                     raise ValueError(
                         "text is too large (max 2^32 - 1 bytes); use "
                         "suffix_array_bytes(index_dtype='u64')")
-                return cls._new_small(text, fn(text))
+                # _new_small inlined: the call itself is ~80 ns on a
+                # ~1 us budget (reference sais_small: 1,038 ns).
+                st = cls.__new__(cls)
+                d = st.__dict__
+                d["_raw"] = text
+                d["_table"] = fn(text)
+                d["_was_str"] = False
+                return st
         raw, was_str = _as_bytes(text)
         if engine == "auto":
             engine = "device"
@@ -672,6 +679,16 @@ class SuffixTable:
         if sc[1] == 0:
             return None
         return int(self._table[sc[0]])
+
+    def verify(self, device: bool = False) -> bool:
+        """Certify that ``table()`` is exactly the suffix array of the
+        text — O(n) (permutation + first-byte monotonicity + successor
+        -rank induction, utils/verify.py), no re-sort. The auditing
+        hook for loaded checkpoints and the checker-verified
+        construction pattern (ROADMAP)."""
+        from suffix_tpu.utils.verify import verify_suffix_array
+
+        return verify_suffix_array(self._raw, self._table, device=device)
 
     # ------------------------------------------------------------------ misc
 
