@@ -35,8 +35,10 @@ form     Rows R_a = T[aq:(a+1)q] differ pairwise ONLY at the defect
              whole rows), and the walk order is the suffix order of
              the length <= k+1 string of row symbols, computed on host
              in microseconds.
-         One final 2-key device sort by (phase-A rank, closed-form
-         in-group key) emits the SA.
+         The in-group key rides every phase-A sort as one trailing
+         operand, so the sort that REACHES purity emits the SA
+         directly (r5: the separate finish sort was one of three
+         full-width passes and is gone).
 
 Soundness never rests on the probe being "right": the defect set is
 exact by construction, phase purity is verified on device, and an
@@ -202,8 +204,18 @@ def _staged(x: np.ndarray, fill) -> jax.Array:
 def _patched_core(words, h0, index_dtype, n, q, bnds, cls_arr, rankT_flat,
                   rank_s, n_cls, rs_cap, with_stats: bool = False):
     """One compiled program: adaptive initial sort -> quadrupling rounds
-    with a per-round phase-purity check -> either the closed-form 2-key
-    finish (pure) or classic continuation to completion (never pure).
+    with a per-round phase-purity check -> the closed-form order FUSED
+    into the sorts (pure), or classic continuation to completion
+    (never pure).
+
+    The closed-form in-group key ``small`` (a pure function of the
+    suffix index — column interval x row class rank + walk rank, from
+    the tiny host tables) rides EVERY sort as one extra trailing key:
+    the moment a sort's leading keys reach phase purity, its tie
+    groups are already ordered by ``small`` and the sorted idx column
+    IS the suffix array — the separate 3-operand finish sort of the
+    first r5 design (~18 ms at 4 MiB, one of three full-width passes)
+    disappears. Costs one extra operand per executed sort (~6 ms).
 
     ``h0``, ``n``, ``q``, ``n_cls``, ``rs_cap`` are traced scalars — one
     compile per (shape bucket, pack plan), not per corpus.
@@ -217,6 +229,21 @@ def _patched_core(words, h0, index_dtype, n, q, bnds, cls_arr, rankT_flat,
     idx = jnp.arange(n_pad, dtype=index_dtype)
     neg = jnp.full((n_pad,), -1, index_dtype)
 
+    with jax.named_scope("PP_small_key"):
+        # Closed-form in-group key per suffix index (home order).
+        real = idx < n
+        pos = jnp.where(real, idx, 0)
+        c = (pos % q).astype(jnp.int32)
+        a = jnp.minimum(pos // q, cls_arr.shape[0] - 1)
+        v = jnp.searchsorted(bnds, c, side="right").astype(jnp.int32)
+        cls = jnp.take(cls_arr, a)
+        tc = jnp.take(rankT_flat, v * n_cls + cls)
+        rs = jnp.take(rank_s, jnp.minimum(a + 1, rank_s.shape[0] - 1))
+        small = (tc * rs_cap + (rs + 1)).astype(index_dtype)
+        # Pads: distinct keys, longer pad suffixes first (engine
+        # convention — they sort below real by the leading keys).
+        small = jnp.where(real, small, (n_pad - 1) - idx)
+
     def purity(dense_sorted, sa_sorted):
         # Every surviving tie group must be same-residue mod q. The one
         # all-PAD group (suffixes past the text, resolved by length
@@ -228,8 +255,9 @@ def _patched_core(words, h0, index_dtype, n, q, bnds, cls_arr, rankT_flat,
         return jnp.all(ok)
 
     with jax.named_scope("P1_initial_sort"):
-        sorted_ops = jax.lax.sort(tuple(words) + (idx,),
-                                  num_keys=init_words, is_stable=False)
+        sorted_ops = jax.lax.sort(tuple(words) + (small, idx),
+                                  num_keys=init_words + 1,
+                                  is_stable=False)
     with jax.named_scope("P2_initial_rank"):
         sa0 = sorted_ops[-1]
         diff0 = sorted_ops[0][1:] != sorted_ops[0][:-1]
@@ -264,8 +292,9 @@ def _patched_core(words, h0, index_dtype, n, q, bnds, cls_arr, rankT_flat,
 
             s1, s2, s3 = shifted(1), shifted(2), shifted(3)
         with jax.named_scope("P4_round_sort"):
-            r1, r2, r3, r4, sa = jax.lax.sort(
-                (rank, s1, s2, s3, idx), num_keys=4, is_stable=False)
+            r1, r2, r3, r4, _, sa = jax.lax.sort(
+                (rank, s1, s2, s3, small, idx), num_keys=5,
+                is_stable=False)
         with jax.named_scope("P5_dense_rerank"):
             diff = ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
                     | (r3[1:] != r3[:-1]) | (r4[1:] != r4[:-1]))
@@ -280,27 +309,13 @@ def _patched_core(words, h0, index_dtype, n, q, bnds, cls_arr, rankT_flat,
         cond, body,
         (dense0, sa0, h0.astype(index_dtype), done0, pure0))
 
-    def closed_form(args):
-        dense_s, sa_s = args
-        with jax.named_scope("PP_closed_form"):
-            real = sa_s < n
-            pos = jnp.where(real, sa_s, 0)
-            c = (pos % q).astype(jnp.int32)  # < q, always int32-safe
-            a = jnp.minimum(pos // q, cls_arr.shape[0] - 1)
-            v = jnp.searchsorted(bnds, c, side="right").astype(jnp.int32)
-            cls = jnp.take(cls_arr, a)
-            tc = jnp.take(rankT_flat, v * n_cls + cls)
-            rs = jnp.take(rank_s, jnp.minimum(a + 1, rank_s.shape[0] - 1))
-            small = (tc * rs_cap + (rs + 1)).astype(index_dtype)
-            small = jnp.where(real, small, (n_pad - 1) - sa_s)
-            _, _, sa = jax.lax.sort((dense_s, small, sa_s), num_keys=2,
-                                    is_stable=False)
-            return sa
-
-    # done => sa_sorted is already the full SA (all ranks distinct);
-    # otherwise the loop stopped on purity and the closed form finishes.
-    sa = jax.lax.cond(done, lambda a: a[1], closed_form,
-                      (dense_fin, sa_sorted))
+    # done => all ranks distinct => the small key was never consulted;
+    # pure => every surviving tie group is same-phase and the fused
+    # small key has already ordered it => either way sa_sorted IS the
+    # suffix array. (A loop that exits on the k-bound without done or
+    # pure cannot happen: k doubles past every lcp.)
+    del dense_fin
+    sa = sa_sorted
     if with_stats:
         return sa, k_fin, done, pure_fin
     return sa

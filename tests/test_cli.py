@@ -52,3 +52,14 @@ def test_warmup_small(capsys):
     assert main(["warmup", "--size", "500", "--batches", "8",
                  "--qlens", "8"]) == 0
     assert "warmed" in capsys.readouterr().out
+
+
+def test_stree_array_engine_identical(capsys):
+    from suffix_tpu.cli import main
+
+    assert main(["--platform", "cpu", "stree", "banana"]) == 0
+    dot_fold = capsys.readouterr().out
+    assert main(["--platform", "cpu", "stree", "banana", "--array"]) == 0
+    dot_array = capsys.readouterr().out
+    assert dot_array == dot_fold
+    assert dot_array.startswith("digraph tree {")
