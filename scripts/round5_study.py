@@ -29,6 +29,15 @@ Sections:
   small    — host-route microbenches (no TPU): the sais_small fast
              path added at r5 start (claimed ~490 ns vs reference
              1,038 ns published), single-query ns.
+  deep     — the round-5 deep keyless serving engine (8w fences + 6w
+             ext tier + doubly-compacted refine) on the 128 MiB
+             corpus: 16k and 131k mixed batteries, parity vs the old
+             refine, short-only floors.
+  lcpbulk16 / lcpbulk128
+           — the retuned packed bulk LCP ladder vs host Kasai
+             (per-stage verbose + end-to-end + parity).
+  lcpprod  — clean-process production-path LCP at 128 MiB (the
+             duplicate-array study process distorts HBM residency).
 """
 
 from __future__ import annotations
